@@ -1,0 +1,231 @@
+"""Configuration tree for the whole framework.
+
+Covers every hyperparameter of the reference, including the ones hardcoded in
+its driver (reference train.py:25-28,139-183,335-351) and the tcnn config stack
+(reference nerf/config.py:45-72).  One dataclass tree, JSON round-trippable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+def _asdict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {k: _asdict(v) for k, v in dataclasses.asdict(obj).items()}
+    return obj
+
+
+@dataclass(frozen=True)
+class HashGridConfig:
+    """Multiresolution hash-grid encoding (reference nerf/config.py:47-54)."""
+
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    # exp2(log2(2048/16)/15) ~= 1.38191 — finest level resolution 2048
+    per_level_scale: float = float(2.0 ** (math.log2(2048 / 16) / (16 - 1)))
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def output_dim(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    def resolution(self, level: int) -> int:
+        # tcnn: grid_resolution = floor(base * scale^level)
+        return int(self.base_resolution * (self.per_level_scale ** level))
+
+
+@dataclass(frozen=True)
+class SHConfig:
+    """Spherical-harmonics direction encoding (reference nerf/config.py:62-65)."""
+
+    degree: int = 4
+
+    @property
+    def output_dim(self) -> int:
+        return self.degree ** 2
+
+
+@dataclass(frozen=True)
+class FreqConfig:
+    """NeRF frequency positional encoding (tiny-NeRF path)."""
+
+    n_freqs: int = 6
+    include_input: bool = True
+
+    def output_dim(self, in_dim: int) -> int:
+        d = 2 * self.n_freqs * in_dim
+        if self.include_input:
+            d += in_dim
+        return d
+
+
+@dataclass(frozen=True)
+class MLPConfig:
+    """Fully-connected net (reference nerf/config.py:55-72, FullyFusedMLP)."""
+
+    n_neurons: int = 128
+    n_hidden_layers: int = 3
+    activation: str = "relu"
+    output_activation: str = "none"
+
+
+@dataclass(frozen=True)
+class NeRFConfig:
+    """The instant-ngp style latent/RGB NeRF (reference nerf/network.py:10-37)."""
+
+    channel_dim: int = 3          # 3 = RGB, 4 = SDXL latent
+    geo_feat_dim: int = 15
+    bound: float = 1.0
+    density_scale: float = 1.0
+    min_near: float = 0.2
+    density_thresh: float = 0.01
+    bg_radius: float = -1.0
+    grid_size: int = 128
+    encoding_sigma: HashGridConfig = field(default_factory=HashGridConfig)
+    network_sigma: MLPConfig = field(default_factory=lambda: MLPConfig(n_hidden_layers=3))
+    encoding_dir: SHConfig = field(default_factory=SHConfig)
+    network_color: MLPConfig = field(default_factory=lambda: MLPConfig(n_hidden_layers=4))
+
+    @property
+    def cascade(self) -> int:
+        return 1 + math.ceil(math.log2(max(self.bound, 1.0)))
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Ray-march/composite settings (reference nerf/renderer.py:70, train.py:27,340)."""
+
+    max_steps: int = 256          # train; reference eval uses 512
+    dt_gamma: float = 0.0
+    t_thresh: float = 1e-4
+    perturb: bool = False
+
+
+@dataclass(frozen=True)
+class TinyNeRFConfig:
+    """The tiny-NeRF parity config (reference test_nerf.py:146-166)."""
+
+    n_layers: int = 8
+    width: int = 256
+    n_freqs_pos: int = 6
+    n_freqs_dir: int = 4
+    n_samples: int = 64
+    near: float = 2.0
+    far: float = 6.0
+    use_viewdirs: bool = True
+
+
+@dataclass(frozen=True)
+class SDConfig:
+    """SDXL + IP-Adapter stack (reference stable_diffusion/network.py:16-112)."""
+
+    num_tokens: int = 2
+    use_downsampling_layers: bool = True
+    cross_attention_dim: int = 2048
+    latent_channels: int = 4
+    vae_scaling_factor: float = 0.13025   # SDXL vae config
+    # IP image-embed channels: 4 latent + 3 ray dirs (reference network.py:54)
+    cond_channels: int = 7
+    latent_size: int = 64
+    image_size: int = 512
+    ip_scale: float = 1.0
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """DDIM, SDXL base scheduler config (scheduler/scheduler_config.json)."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    clip_sample: bool = False
+    set_alpha_to_one: bool = False
+    steps_offset: int = 1
+    prediction_type: str = "epsilon"
+    timestep_spacing: str = "leading"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset settings (reference train.py:153-172, datasets/dataset.py)."""
+
+    dataset_name: str = "objaverse"
+    image_size: int = 512          # encoder_input_dim
+    encoded_size: int = 64         # encoder_output_dim
+    mean: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    percent_objects: float = 0.0002
+    fix_choices: Optional[Tuple[int, int]] = (0, 1)
+    train_frac: float = 0.8
+    val_frac: float = 0.1
+    root: str = "datasets"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Joint-training loop (reference train.py:159-183)."""
+
+    batch_size: int = 1
+    epochs: int = 500
+    inference_every: int = 50
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    grad_accum_steps: int = 1
+    seed: int = 0
+    max_steps_train: int = 256
+    max_steps_eval: int = 512
+    bg_color: float = 1.0
+    num_inference_steps: int = 50
+    checkpoint_every: int = 50     # epochs; the reference only saves at the end
+    log_every: int = 10
+    mixed_precision: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit/shard_map scale-out."""
+
+    data_axis: str = "data"
+    n_devices: int = -1            # -1 = all available
+
+
+@dataclass(frozen=True)
+class Config:
+    nerf: NeRFConfig = field(default_factory=NeRFConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    tiny: TinyNeRFConfig = field(default_factory=TinyNeRFConfig)
+    sd: SDConfig = field(default_factory=SDConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def as_dict(self) -> dict:
+        return _asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.as_dict(), indent=2)
+
+
+def latent_nerf_config() -> Config:
+    """The joint Stable-NeRF training config (reference train.py:25-28,147)."""
+    return Config(nerf=NeRFConfig(channel_dim=4))
+
+
+def rgb_nerf_config() -> Config:
+    """The RGB NeRF config used by reference test_nerf.py."""
+    return Config(nerf=NeRFConfig(channel_dim=3))

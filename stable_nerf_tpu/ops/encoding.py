@@ -1,0 +1,191 @@
+"""Input encodings: multiresolution hash grid, spherical harmonics, frequency.
+
+TPU-native equivalents of the tiny-cuda-nn encodings the reference depends on
+(reference nerf/network.py:23-32; configs nerf/config.py:47-65):
+
+  * HashGridEncoding — instant-ngp multires hash table (16 levels × 2 features,
+    2^19 entries, base res 16, per-level scale ≈ 1.3819).  Implemented as one
+    fused gather over a [L·T, F] table; gradients reach the table through
+    XLA's gather-transpose (scatter-add), no atomics.
+  * sh_encoding — closed-form real spherical harmonics, 4 bands → 16 dims
+    (tcnn "SphericalHarmonics degree 4"); input in [0, 1] like tcnn.
+  * freq_encoding — classic NeRF sin/cos positional encoding for the
+    tiny-NeRF path.
+
+All functions are shape-polymorphic over leading dims and jit/vmap-safe.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HashGridConfig
+
+# tcnn spatial hash primes (grid.h): {1, 2654435761, 805459861}
+_PRIMES = (1, 2654435761, 805459861)
+
+
+class HashGridParams(NamedTuple):
+    table: jnp.ndarray  # [n_levels * table_size, n_features]
+
+
+def _level_geometry(cfg: HashGridConfig):
+    """Per-level (scale, resolution, dense?) following tcnn grid.h:
+
+    scale_l = base · 2^(l·log2 s) − 1;  res_l = ceil(scale_l) + 1;
+    dense indexing iff res_l³ <= table_size.
+    """
+    log2s = math.log2(cfg.per_level_scale)
+    scales, resolutions, dense = [], [], []
+    for l in range(cfg.n_levels):
+        scale = cfg.base_resolution * (2.0 ** (l * log2s)) - 1.0
+        res = int(math.ceil(scale)) + 1
+        scales.append(scale)
+        resolutions.append(res)
+        dense.append(res ** 3 <= cfg.table_size)
+    return scales, resolutions, dense
+
+
+def hash_grid_init(key, cfg: HashGridConfig, dtype=jnp.float32) -> HashGridParams:
+    """Uniform(-1e-4, 1e-4) init, matching tcnn's default grid init."""
+    shape = (cfg.n_levels * cfg.table_size, cfg.n_features_per_level)
+    table = jax.random.uniform(key, shape, dtype, minval=-1e-4, maxval=1e-4)
+    return HashGridParams(table=table)
+
+
+def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig):
+    """Encode positions.
+
+    Args:
+      params: hash table.
+      x: [..., 3] positions in [0, 1] (callers rescale from [-bound, bound],
+         reference nerf/network.py:43).
+
+    Returns: [..., n_levels * n_features] features.
+    """
+    batch_shape = x.shape[:-1]
+    x = x.reshape(-1, 3).astype(jnp.float32)                       # [M, 3]
+    M = x.shape[0]
+    scales, resolutions, dense = _level_geometry(cfg)
+    T = cfg.table_size
+    L = cfg.n_levels
+
+    # per-level continuous grid coords: pos = x*scale + 0.5 (tcnn pos_fract)
+    scale_arr = jnp.asarray(scales, jnp.float32)                   # [L]
+    pos = x[:, None, :] * scale_arr[None, :, None] + 0.5           # [M, L, 3]
+    p0 = jnp.floor(pos)
+    w = pos - p0                                                   # [M, L, 3]
+    p0 = p0.astype(jnp.int32)
+
+    # 8 corner offsets
+    corners = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.int32
+    )                                                              # [8, 3]
+    cpos = p0[:, :, None, :] + corners[None, None, :, :]           # [M, L, 8, 3]
+
+    # per-level index: dense strides if the level fits, else spatial hash
+    res_arr = jnp.asarray(resolutions, jnp.int32)                  # [L]
+    dense_arr = jnp.asarray(dense)                                 # [L] bool
+    cx, cy, cz = cpos[..., 0], cpos[..., 1], cpos[..., 2]
+    r = res_arr[None, :, None]
+    dense_idx = (cx + cy * r + cz * r * r).astype(jnp.uint32)
+    hashed = (
+        cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+        ^ cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
+        ^ cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
+    )
+    idx = jnp.where(dense_arr[None, :, None], dense_idx, hashed) % jnp.uint32(T)
+    level_off = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[None, :, None]
+    flat_idx = (idx + level_off).astype(jnp.int32)                 # [M, L, 8]
+
+    feats = params.table[flat_idx.reshape(-1)]                     # [M*L*8, F]
+    feats = feats.reshape(M, L, 8, cfg.n_features_per_level)
+
+    # trilinear weights in the same corner order
+    wx, wy, wz = w[..., 0:1], w[..., 1:2], w[..., 2:3]             # [M, L, 1]
+    cw = jnp.stack(
+        [
+            (1 - wx) * (1 - wy) * (1 - wz),
+            (1 - wx) * (1 - wy) * wz,
+            (1 - wx) * wy * (1 - wz),
+            (1 - wx) * wy * wz,
+            wx * (1 - wy) * (1 - wz),
+            wx * (1 - wy) * wz,
+            wx * wy * (1 - wz),
+            wx * wy * wz,
+        ],
+        axis=2,
+    )                                                              # [M, L, 8, 1]
+    out = jnp.sum(feats * cw, axis=2)                              # [M, L, F]
+    return out.reshape(*batch_shape, L * cfg.n_features_per_level)
+
+
+# ---------------------------------------------------------------------------
+# Spherical harmonics (4 bands, 16 coefficients)
+# ---------------------------------------------------------------------------
+
+def sh_encoding(d, degree: int = 4):
+    """Real SH basis up to ``degree`` bands (tcnn SphericalHarmonics).
+
+    Args:
+      d: [..., 3] directions in [0, 1] (tcnn convention: callers map from
+         [-1, 1] via (d+1)/2, reference nerf/network.py:51).
+
+    Returns: [..., degree²] basis values.
+    """
+    if degree < 1 or degree > 4:
+        raise ValueError("sh_encoding supports 1..4 bands")
+    d = d * 2.0 - 1.0
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    xy, xz, yz = x * y, x * z, y * z
+    x2, y2, z2 = x * x, y * y, z * z
+
+    out = [jnp.full_like(x, 0.28209479177387814)]                  # l=0
+    if degree >= 2:                                                # l=1
+        out += [
+            -0.48860251190291987 * y,
+            0.48860251190291987 * z,
+            -0.48860251190291987 * x,
+        ]
+    if degree >= 3:                                                # l=2
+        out += [
+            1.0925484305920792 * xy,
+            -1.0925484305920792 * yz,
+            0.94617469575755997 * z2 - 0.31539156525251999,
+            -1.0925484305920792 * xz,
+            0.54627421529603959 * (x2 - y2),
+        ]
+    if degree >= 4:                                                # l=3
+        out += [
+            0.59004358992664352 * y * (-3.0 * x2 + y2),
+            2.8906114426405538 * xy * z,
+            0.45704579946446572 * y * (1.0 - 5.0 * z2),
+            0.3731763325901154 * z * (5.0 * z2 - 3.0),
+            0.45704579946446572 * x * (1.0 - 5.0 * z2),
+            1.4453057213202769 * z * (x2 - y2),
+            0.59004358992664352 * x * (-x2 + 3.0 * y2),
+        ]
+    return jnp.stack(out, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Frequency (sin/cos) encoding — tiny-NeRF path
+# ---------------------------------------------------------------------------
+
+def freq_encoding(x, n_freqs: int, include_input: bool = True):
+    """γ(p) = (p?, sin(2⁰p), cos(2⁰p), …, sin(2^{L−1}p), cos(2^{L−1}p)).
+
+    Returns [..., D·(2L + include_input)] with the per-frequency blocks
+    interleaved (sin then cos per octave), matching the original NeRF.
+    """
+    freqs = 2.0 ** jnp.arange(n_freqs, dtype=x.dtype)              # [L]
+    xb = x[..., None, :] * freqs[:, None]                          # [..., L, D]
+    enc = jnp.concatenate([jnp.sin(xb), jnp.cos(xb)], axis=-1)     # [..., L, 2D]
+    enc = enc.reshape(*x.shape[:-1], -1)
+    if include_input:
+        enc = jnp.concatenate([x, enc], axis=-1)
+    return enc
