@@ -1,0 +1,96 @@
+"""Shared functional NN primitives for the diffusion models (VAE, U-Net).
+
+Param layout convention: plain nested dicts with
+  conv:   {"kernel": [O, I, kh, kw], "bias": [O]}        (torch OIHW — keeps
+          HF weight conversion a pure reshape-free copy; XLA re-layouts for
+          the MXU internally)
+  linear: {"kernel": [in, out], "bias": [out]?}
+  norm:   {"scale": [C], "bias": [C]}
+
+All activations NCHW to match the reference weights' semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def conv2d(p: Dict, x, stride: int = 1, padding: int = 1):
+    """3×3/1×1/4×4 conv, NCHW / OIHW."""
+    dn = ("NCHW", "OIHW", "NCHW")
+    k = p["kernel"]
+    out = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (stride, stride),
+        [(padding, padding), (padding, padding)], dimension_numbers=dn,
+    )
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)[None, :, None, None]
+    return out
+
+
+def linear(p: Dict, x):
+    out = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def group_norm(p: Dict, x, groups: int = 32, eps: float = 1e-6):
+    """GroupNorm over NCHW (stats in float32 for bf16 activations)."""
+    n, c, h, w = x.shape
+    xf = x.astype(jnp.float32).reshape(n, groups, c // groups, h, w)
+    mu = jnp.mean(xf, axis=(2, 3, 4), keepdims=True)
+    var = jnp.var(xf, axis=(2, 3, 4), keepdims=True)
+    xf = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(n, c, h, w)
+    out = xf * p["scale"][None, :, None, None] + p["bias"][None, :, None, None]
+    return out.astype(x.dtype)
+
+
+def layer_norm(p: Dict, x, eps: float = 1e-5):
+    mu = jnp.mean(x.astype(jnp.float32), -1, keepdims=True)
+    var = jnp.var(x.astype(jnp.float32), -1, keepdims=True)
+    out = (x.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + eps)
+    return (out * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def sdpa(q, k, v):
+    """Scaled dot-product attention over [B, H, S, D] (torch SDPA semantics,
+    the reference's attention core — attention_processor.py:371-373)."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32))
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+
+
+def split_heads(x, n_heads: int):
+    b, s, d = x.shape
+    return x.reshape(b, s, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    b, h, s, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+
+
+def timestep_embedding(timesteps, dim: int, max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True, downscale_freq_shift: float = 0.0):
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding
+    semantics with SDXL's flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)

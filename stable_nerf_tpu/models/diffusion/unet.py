@@ -1,0 +1,381 @@
+"""SDXL UNet2DConditionModel in functional JAX, with native IP-Adapter
+two-stream cross-attention.
+
+Architecture-parity with the frozen `stabilityai/stable-diffusion-xl-base-1.0`
+U-Net the reference loads (reference stable_diffusion/network.py:24): channels
+(320, 640, 1280); down blocks [plain DownBlock2D, CrossAttn×2-deep,
+CrossAttn×10-deep]; mirrored up path; 10-deep cross-attn mid block; 64-dim
+heads; cross_attention_dim 2048; `text_time` additional embeddings (pooled
+text 1280 + six 256-dim Fourier time ids); linear transformer projections.
+
+The reference attaches IP-Adapter processors to every cross-attention layer
+(reference stable_diffusion/network.py:89-112 + ip_adapter/
+attention_processor.py:282-412).  Instead of a processor-object registry —
+a torch pattern — the two-stream attention is native here: when a
+cross-attention param dict carries `to_k_ip`/`to_v_ip`, the layer splits the
+conditioning sequence into (text-stream, last `num_tokens` ip-stream) halves,
+runs SDPA on each, and adds `scale·ip_out` (attention_processor.py:349-397).
+With the reference's 4-token conditioning (2 views × 2 tokens,
+network.py:203-207) the "text" stream sees the first 2 tokens and the ip
+stream the last 2 — behavior reproduced exactly.
+
+Everything is NCHW/einsum jnp; XLA maps the attention and conv stacks onto
+the MXU directly.  A reduced `UNetConfig` drives CPU-sized parity tests.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .nn import (
+    conv2d,
+    group_norm,
+    layer_norm,
+    linear,
+    merge_heads,
+    sdpa,
+    silu,
+    split_heads,
+    timestep_embedding,
+)
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280)
+    layers_per_block: int = 2
+    # transformer depth per block (0 = plain ResNet block, no attention)
+    transformer_layers: Tuple[int, ...] = (0, 2, 10)
+    head_dim: int = 64
+    cross_attention_dim: int = 2048
+    norm_groups: int = 32
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 2816  # 1280 + 6*256
+    pooled_projection_dim: int = 1280
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    # IP-Adapter
+    ip_num_tokens: int = 2
+    ip_scale: float = 1.0
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+def sdxl_unet_config() -> UNetConfig:
+    return UNetConfig()
+
+
+def tiny_unet_config() -> UNetConfig:
+    """CPU-testable reduction preserving every structural feature."""
+    return UNetConfig(
+        block_out_channels=(32, 64),
+        transformer_layers=(0, 1),
+        head_dim=8,
+        cross_attention_dim=48,
+        norm_groups=8,
+        addition_time_embed_dim=16,
+        projection_class_embeddings_input_dim=32 + 6 * 16,
+        pooled_projection_dim=32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _kinit(key, shape, fan_in):
+    scale = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
+
+
+class _KeyGen:
+    def __init__(self, key):
+        self.key = key
+
+    def __call__(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+
+def _lin_init(kg, din, dout, bias=True):
+    p = {"kernel": _kinit(kg(), (din, dout), din)}
+    if bias:
+        p["bias"] = jnp.zeros(dout)
+    return p
+
+
+def _conv_init(kg, cin, cout, k=3):
+    return {"kernel": _kinit(kg(), (cout, cin, k, k), cin * k * k),
+            "bias": jnp.zeros(cout)}
+
+
+def _norm_init(c):
+    return {"scale": jnp.ones(c), "bias": jnp.zeros(c)}
+
+
+def _resnet_init(kg, cin, cout, temb_dim):
+    p = {
+        "norm1": _norm_init(cin),
+        "conv1": _conv_init(kg, cin, cout),
+        "time_emb_proj": _lin_init(kg, temb_dim, cout),
+        "norm2": _norm_init(cout),
+        "conv2": _conv_init(kg, cout, cout),
+    }
+    if cin != cout:
+        p["conv_shortcut"] = _conv_init(kg, cin, cout, k=1)
+    return p
+
+
+def _attn_init(kg, c, kv_dim, with_ip):
+    p = {
+        "to_q": _lin_init(kg, c, c, bias=False),
+        "to_k": _lin_init(kg, kv_dim, c, bias=False),
+        "to_v": _lin_init(kg, kv_dim, c, bias=False),
+        "to_out": _lin_init(kg, c, c),
+    }
+    if with_ip:
+        p["to_k_ip"] = _lin_init(kg, kv_dim, c, bias=False)
+        p["to_v_ip"] = _lin_init(kg, kv_dim, c, bias=False)
+    return p
+
+
+def _tblock_init(kg, c, cfg: UNetConfig, with_ip):
+    return {
+        "norm1": _norm_init(c),
+        "attn1": _attn_init(kg, c, c, False),
+        "norm2": _norm_init(c),
+        "attn2": _attn_init(kg, c, cfg.cross_attention_dim, with_ip),
+        "norm3": _norm_init(c),
+        "ff_geglu": _lin_init(kg, c, 8 * c),
+        "ff_out": _lin_init(kg, 4 * c, c),
+    }
+
+
+def _transformer_init(kg, c, depth, cfg: UNetConfig, with_ip):
+    return {
+        "norm": _norm_init(c),
+        "proj_in": _lin_init(kg, c, c),
+        "blocks": [_tblock_init(kg, c, cfg, with_ip) for _ in range(depth)],
+        "proj_out": _lin_init(kg, c, c),
+    }
+
+
+def unet_init(key, cfg: UNetConfig = UNetConfig(), with_ip: bool = True) -> Dict:
+    """Random init (tests / from-scratch); pretrained loading in weights.py."""
+    kg = _KeyGen(key)
+    ch = cfg.block_out_channels
+    ted = cfg.time_embed_dim
+
+    params: Dict = {
+        "conv_in": _conv_init(kg, cfg.in_channels, ch[0]),
+        "time_embedding": {
+            "linear_1": _lin_init(kg, ch[0], ted),
+            "linear_2": _lin_init(kg, ted, ted),
+        },
+        "add_embedding": {
+            "linear_1": _lin_init(kg, cfg.projection_class_embeddings_input_dim, ted),
+            "linear_2": _lin_init(kg, ted, ted),
+        },
+    }
+
+    down = []
+    cin = ch[0]
+    for i, c in enumerate(ch):
+        block = {"resnets": [], "attentions": []}
+        for j in range(cfg.layers_per_block):
+            block["resnets"].append(_resnet_init(kg, cin if j == 0 else c, c, ted))
+            if cfg.transformer_layers[i] > 0:
+                block["attentions"].append(
+                    _transformer_init(kg, c, cfg.transformer_layers[i], cfg, with_ip)
+                )
+        if i < len(ch) - 1:
+            block["downsample"] = _conv_init(kg, c, c)
+        down.append(block)
+        cin = c
+    params["down_blocks"] = down
+
+    params["mid_block"] = {
+        "resnets": [_resnet_init(kg, ch[-1], ch[-1], ted),
+                    _resnet_init(kg, ch[-1], ch[-1], ted)],
+        "attentions": [
+            _transformer_init(kg, ch[-1], cfg.transformer_layers[-1], cfg, with_ip)
+        ] if cfg.transformer_layers[-1] > 0 else [],
+    }
+
+    up = []
+    rev = tuple(reversed(ch))                       # e.g. (1280, 640, 320)
+    rev_tl = tuple(reversed(cfg.transformer_layers))
+    for i, c in enumerate(rev):
+        prev_out = rev[i - 1] if i > 0 else rev[0]
+        block = {"resnets": [], "attentions": []}
+        for j in range(cfg.layers_per_block + 1):
+            skip_ch = rev[min(i + 1, len(rev) - 1)] if j == cfg.layers_per_block else c
+            res_in = (prev_out if j == 0 else c) + skip_ch
+            block["resnets"].append(_resnet_init(kg, res_in, c, ted))
+            if rev_tl[i] > 0:
+                block["attentions"].append(
+                    _transformer_init(kg, c, rev_tl[i], cfg, with_ip)
+                )
+        if i < len(rev) - 1:
+            block["upsample"] = _conv_init(kg, c, c)
+        up.append(block)
+    params["up_blocks"] = up
+
+    params["conv_norm_out"] = _norm_init(ch[0])
+    params["conv_out"] = _conv_init(kg, ch[0], cfg.out_channels)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _resnet(p, x, temb, groups):
+    h = group_norm(p["norm1"], x, groups, eps=1e-5)
+    h = conv2d(p["conv1"], silu(h))
+    t = linear(p["time_emb_proj"], silu(temb))
+    h = h + t[:, :, None, None]
+    h = group_norm(p["norm2"], h, groups, eps=1e-5)
+    h = conv2d(p["conv2"], silu(h))
+    if "conv_shortcut" in p:
+        x = conv2d(p["conv_shortcut"], x, padding=0)
+    return x + h
+
+
+def _attention(p, x, context, n_heads, ip_tokens: int, ip_scale: float):
+    """SDPA attention; two-stream IP split when `to_k_ip` present and the
+    layer is cross-attention (attention_processor.py:282-412)."""
+    q = split_heads(linear(p["to_q"], x), n_heads)
+    if context is None:
+        ctx = x
+        k = split_heads(linear(p["to_k"], ctx), n_heads)
+        v = split_heads(linear(p["to_v"], ctx), n_heads)
+        out = merge_heads(sdpa(q, k, v))
+    elif "to_k_ip" in p and ip_tokens > 0:
+        end = context.shape[1] - ip_tokens
+        text_ctx, ip_ctx = context[:, :end], context[:, end:]
+        k = split_heads(linear(p["to_k"], text_ctx), n_heads)
+        v = split_heads(linear(p["to_v"], text_ctx), n_heads)
+        out = merge_heads(sdpa(q, k, v))
+        k_ip = split_heads(linear(p["to_k_ip"], ip_ctx), n_heads)
+        v_ip = split_heads(linear(p["to_v_ip"], ip_ctx), n_heads)
+        out = out + ip_scale * merge_heads(sdpa(q, k_ip, v_ip))
+    else:
+        k = split_heads(linear(p["to_k"], context), n_heads)
+        v = split_heads(linear(p["to_v"], context), n_heads)
+        out = merge_heads(sdpa(q, k, v))
+    return linear(p["to_out"], out)
+
+
+def _transformer(p, x, context, cfg: UNetConfig, groups):
+    n, c, h, w = x.shape
+    n_heads = c // cfg.head_dim
+    residual = x
+    y = group_norm(p["norm"], x, groups, eps=1e-6)
+    y = y.reshape(n, c, h * w).transpose(0, 2, 1)
+    y = linear(p["proj_in"], y)
+    for blk in p["blocks"]:
+        y = y + _attention(blk["attn1"], layer_norm(blk["norm1"], y), None,
+                           n_heads, 0, 0.0)
+        y = y + _attention(blk["attn2"], layer_norm(blk["norm2"], y), context,
+                           n_heads, cfg.ip_num_tokens, cfg.ip_scale)
+        z = layer_norm(blk["norm3"], y)
+        z = linear(blk["ff_geglu"], z)
+        val, gate = jnp.split(z, 2, axis=-1)     # diffusers GEGLU order
+        z = linear(blk["ff_out"], val * jax.nn.gelu(gate, approximate=False))
+        y = y + z
+    y = linear(p["proj_out"], y)
+    return residual + y.transpose(0, 2, 1).reshape(n, c, h, w)
+
+
+def unet_apply(
+    params: Dict,
+    sample,
+    timesteps,
+    encoder_hidden_states,
+    *,
+    added_text_embeds,
+    added_time_ids,
+    cfg: UNetConfig = UNetConfig(),
+    compute_dtype=jnp.float32,
+):
+    """Predict noise.
+
+    Args:
+      sample: [B, 4, h, w] noisy latents.
+      timesteps: scalar or [B].
+      encoder_hidden_states: [B, S, cross_attention_dim] conditioning tokens
+        (the reference feeds ONLY the ip tokens here, network.py:205-207).
+      added_text_embeds: [B, pooled_dim] (SDXL `text_embeds`).
+      added_time_ids: [B, 6] (SDXL `time_ids`).
+
+    Returns: [B, 4, h, w] epsilon prediction.
+    """
+    g = cfg.norm_groups
+    B = sample.shape[0]
+    x = sample.astype(compute_dtype)
+    context = encoder_hidden_states.astype(compute_dtype)
+
+    timesteps = jnp.broadcast_to(jnp.asarray(timesteps), (B,))
+    temb = timestep_embedding(timesteps, cfg.block_out_channels[0],
+                              flip_sin_to_cos=cfg.flip_sin_to_cos,
+                              downscale_freq_shift=cfg.freq_shift)
+    temb = linear(params["time_embedding"]["linear_2"],
+                  silu(linear(params["time_embedding"]["linear_1"],
+                              temb.astype(compute_dtype))))
+
+    # text_time additional embeddings (diffusers addition_embed_type path)
+    tids = timestep_embedding(added_time_ids.reshape(-1),
+                              cfg.addition_time_embed_dim,
+                              flip_sin_to_cos=cfg.flip_sin_to_cos,
+                              downscale_freq_shift=cfg.freq_shift)
+    tids = tids.reshape(B, -1)
+    add = jnp.concatenate([added_text_embeds.astype(compute_dtype),
+                           tids.astype(compute_dtype)], axis=-1)
+    aemb = linear(params["add_embedding"]["linear_2"],
+                  silu(linear(params["add_embedding"]["linear_1"], add)))
+    temb = temb + aemb
+
+    x = conv2d(params["conv_in"], x)
+    skips = [x]
+    for block in params["down_blocks"]:
+        attns = block["attentions"]
+        for j, res in enumerate(block["resnets"]):
+            x = _resnet(res, x, temb, g)
+            if attns:
+                x = _transformer(attns[j], x, context, cfg, g)
+            skips.append(x)
+        if "downsample" in block:
+            x = conv2d(block["downsample"], x, stride=2, padding=1)
+            skips.append(x)
+
+    mid = params["mid_block"]
+    x = _resnet(mid["resnets"][0], x, temb, g)
+    if mid["attentions"]:
+        x = _transformer(mid["attentions"][0], x, context, cfg, g)
+    x = _resnet(mid["resnets"][1], x, temb, g)
+
+    for i, block in enumerate(params["up_blocks"]):
+        attns = block["attentions"]
+        for j, res in enumerate(block["resnets"]):
+            skip = skips.pop()
+            x = _resnet(res, jnp.concatenate([x, skip], axis=1), temb, g)
+            if attns:
+                x = _transformer(attns[j], x, context, cfg, g)
+        if "upsample" in block:
+            n, c, hh, ww = x.shape
+            x = jax.image.resize(x, (n, c, hh * 2, ww * 2), "nearest")
+            x = conv2d(block["upsample"], x)
+
+    x = silu(group_norm(params["conv_norm_out"], x, g, eps=1e-5))
+    x = conv2d(params["conv_out"], x)
+    return x.astype(jnp.float32)

@@ -1,0 +1,20 @@
+from .network import NeRFParams, nerf_init, nerf_apply, nerf_density
+from .grid import (
+    OccupancyGridState,
+    grid_init,
+    mark_untrained_grid,
+    update_extra_state,
+)
+from .renderer import render
+
+__all__ = [
+    "NeRFParams",
+    "nerf_init",
+    "nerf_apply",
+    "nerf_density",
+    "OccupancyGridState",
+    "grid_init",
+    "mark_untrained_grid",
+    "update_extra_state",
+    "render",
+]
