@@ -36,14 +36,16 @@ def image_proj_init(key, clip_embeddings_dim: int, cross_attention_dim: int,
         },
         "norm": {"scale": jnp.ones(cross_attention_dim),
                  "bias": jnp.zeros(cross_attention_dim)},
-        "num_tokens": num_tokens,
-        "cross_attention_dim": cross_attention_dim,
     }
 
 
 def image_proj_apply(params: Dict, image_embeds) -> jnp.ndarray:
-    """[B, embed_dim] → [B, num_tokens, cross_attention_dim]."""
-    t, d = params["num_tokens"], params["cross_attention_dim"]
+    """[B, embed_dim] → [B, num_tokens, cross_attention_dim].
+
+    num_tokens/dim are inferred from the param shapes (params trees hold
+    only array leaves so they are grad/optimizer-safe)."""
+    d = params["norm"]["scale"].shape[0]
+    t = params["proj"]["kernel"].shape[1] // d
     x = linear(params["proj"], image_embeds).reshape(-1, t, d)
     mu = jnp.mean(x, -1, keepdims=True)
     var = jnp.var(x, -1, keepdims=True)

@@ -41,9 +41,11 @@ class SDNetworkConfig:
     @property
     def proj_dim(self) -> int:
         """IP image-embed dim entering ImageProjModel
-        (reference network.py:54,70)."""
+        (reference network.py:54,70: 64·4·4 with the CNN at latent 64,
+        7·64² without; generalized to the configured latent size)."""
         if self.sd.use_downsampling_layers:
-            return 64 * 4 * 4
+            # the CNN downsamples 16× spatially into 64 channels
+            return 64 * max(self.sd.latent_size // 16, 1) ** 2
         return self.sd.cond_channels * self.sd.latent_size ** 2
 
 

@@ -1,0 +1,56 @@
+"""Periodic orbax checkpointing: params + optimizer + occupancy grid + step.
+
+The reference only pickles whole model objects once at the very end of
+training (train.py:303-308) — no optimizer state, no resume.  Rebuild
+upgrade (SURVEY.md §5): periodic, resumable checkpoints carrying the full
+training state, including the occupancy grid (which the reference captures
+only implicitly via registered buffers, renderer.py:32-45).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, params: Any, opt_state: Any, grid_state: Any,
+             extra: Optional[Dict] = None, wait: bool = False):
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "grid_state": grid_state,
+            "extra": extra or {},
+        }
+        self.manager.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self.manager.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None, template: Optional[Any] = None):
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return None
+        if template is not None:
+            return self.manager.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        return self.manager.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def close(self):
+        self.manager.wait_until_finished()
+        self.manager.close()

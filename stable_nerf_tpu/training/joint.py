@@ -1,0 +1,213 @@
+"""Joint Stable-NeRF training: the reference's forward_iteration as one
+jitted step.
+
+Reproduces reference train.py:23-107 exactly:
+  1. frozen-VAE encode of (target, reference) images (no grad);
+  2. latent GT normalize to [0, 1];
+  3. NeRF render of target+reference rays at the latent resolution;
+  4. nerf_loss = L1(pred_target, gt_target) + L1(pred_ref, gt_ref);
+  5. condition assembly [pred_target·2−1 | target_dirs] and
+     [ref_vae_latent | ref_dirs] → [2B, 7, 64, 64];
+  6. random timesteps + DDIM add_noise on the target latent;
+  7. frozen U-Net + IP-Adapter noise prediction;
+  8. sd_loss = MSE(noise_pred, noise).
+
+Design deltas (documented divergences, SURVEY.md §7):
+  * NeRF gradients participate in the data-parallel psum — the reference
+    accidentally exempts NeRF from DDP (train.py:187-188);
+  * gradients are taken only w.r.t. the trainable partition so XLA elides
+    the frozen-U-Net weight-gradient matmuls.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import NeRFConfig, TrainConfig
+from ..models.diffusion.scheduler import DDIMScheduler
+from ..models.diffusion.sd_network import (
+    SDNetworkConfig,
+    encode_images,
+    sd_forward,
+    trainable_mask as sd_trainable_mask,
+)
+from ..models.nerf.grid import OccupancyGridState
+from ..models.nerf.network import NeRFParams
+from ..models.nerf.renderer import render
+from ..utils.losses import l1_loss, mse_loss
+from ..utils.pytree import combine, partition
+
+
+@dataclass(frozen=True)
+class JointConfig:
+    nerf: NeRFConfig = field(default_factory=lambda: NeRFConfig(channel_dim=4))
+    sd: SDNetworkConfig = field(default_factory=SDNetworkConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    @property
+    def latent_hw(self) -> int:
+        return self.sd.sd.latent_size
+
+
+def joint_trainable_mask(params: Dict) -> Dict:
+    """Mask over {'sd': …, 'nerf': …}: the reference's optimizer set
+    (train.py:179-182) = sd ip-head + whole NeRF."""
+    return {
+        "sd": sd_trainable_mask(params["sd"]),
+        "nerf": jax.tree.map(lambda _: True, params["nerf"]),
+    }
+
+
+def forward_iteration(
+    params: Dict,
+    grid_state: OccupancyGridState,
+    batch: Dict,
+    key,
+    cfg: JointConfig,
+    scheduler: DDIMScheduler,
+    *,
+    train: bool = True,
+    compute_dtype=jnp.bfloat16,
+    sample_budget: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """One joint forward pass → (sd_loss, nerf_loss, aux)."""
+    enc = cfg.latent_hw
+    C = cfg.nerf.channel_dim
+    k_vae, k_noise, k_t, k_perturb = jax.random.split(key, 4)
+
+    target_image = batch["target_image"]
+    reference_image = batch["reference_image"]
+    B = target_image.shape[0]
+
+    # 1. frozen VAE encode, batched then split (train.py:44), no grad
+    images = jnp.concatenate([target_image, reference_image], axis=0)
+    latents = jax.lax.stop_gradient(
+        encode_images(params["sd"], images, k_vae, cfg.sd)
+    )
+    target_lt, reference_lt = jnp.split(latents, 2, axis=0)   # [B, 4, 64, 64]
+
+    # 2. latent GT → [B, 4096, 4] in [0, 1] (train.py:52-53)
+    def to_gt(lt):
+        return (lt.transpose(0, 2, 3, 1).reshape(B, -1, C) + 1.0) / 2.0
+
+    target_gt, reference_gt = to_gt(target_lt), to_gt(reference_lt)
+
+    # 3. NeRF render, target and reference batched (train.py:61-66)
+    rays_o = jnp.concatenate([batch["target_rays_o"], batch["reference_rays_o"]], 0)
+    rays_d = jnp.concatenate([batch["target_rays_d"], batch["reference_rays_d"]], 0)
+    out = render(
+        params["nerf"], grid_state, rays_o, rays_d, cfg.nerf,
+        bg_color=cfg.train.bg_color,
+        max_steps=cfg.train.max_steps_train if train else cfg.train.max_steps_eval,
+        perturb_key=k_perturb if train else None,
+        compute_dtype=compute_dtype,
+        sample_budget=sample_budget,
+    )
+    pred_target, pred_reference = jnp.split(out["image"], 2, axis=0)
+
+    # 4. reconstruction loss (train.py:70)
+    nerf_loss = l1_loss(pred_target, target_gt) + l1_loss(pred_reference,
+                                                          reference_gt)
+
+    # 5. conditions (train.py:75-82): NeRF target latent renormalized ×2−1;
+    #    reference condition uses the VAE latent, not the NeRF render
+    pred_target_lt = (
+        pred_target.reshape(B, enc, enc, C).transpose(0, 3, 1, 2) * 2.0 - 1.0
+    )
+    t_dirs = batch["target_rays_d"].transpose(0, 2, 1).reshape(B, 3, enc, enc)
+    r_dirs = batch["reference_rays_d"].transpose(0, 2, 1).reshape(B, 3, enc, enc)
+    image_embeds = jnp.concatenate([
+        jnp.concatenate([pred_target_lt, t_dirs], axis=1),
+        jnp.concatenate([reference_lt, r_dirs], axis=1),
+    ], axis=0)                                                # [2B, 7, 64, 64]
+
+    # 6. noise + timesteps + add_noise (train.py:85-91)
+    noise = jax.random.normal(k_noise, target_lt.shape)
+    timesteps = jax.random.randint(
+        k_t, (B,), 0, scheduler.config.num_train_timesteps
+    )
+    noisy_latents = scheduler.add_noise(target_lt, noise, timesteps)
+
+    # 7-8. U-Net prediction + diffusion loss (train.py:100-105)
+    noise_pred = sd_forward(params["sd"], noisy_latents, timesteps,
+                            image_embeds, cfg.sd, compute_dtype=compute_dtype)
+    sd_loss = mse_loss(noise_pred.astype(jnp.float32), noise)
+
+    aux = {
+        "pred_target_latent": pred_target,
+        "weights_sum": out["weights_sum"],
+    }
+    return sd_loss, nerf_loss, aux
+
+
+def make_train_step(
+    cfg: JointConfig,
+    scheduler: DDIMScheduler,
+    optimizer: optax.GradientTransformation,
+    mask: Dict,
+    *,
+    sample_budget: Optional[int] = None,
+    pmean_axis: Optional[str] = None,
+):
+    """Build the jitted joint train step.
+
+    Differentiates only the mask-selected partition.  When ``pmean_axis`` is
+    set (inside shard_map), gradients and metrics are psum-averaged across
+    the data axis — including the NeRF (divergence note in module docstring).
+    """
+
+    def step(params, opt_state, grid_state, batch, key):
+        trainable, frozen = partition(params, mask)
+
+        def loss_fn(trainable):
+            p = combine(trainable, frozen)
+            sd_loss, nerf_loss, _aux = forward_iteration(
+                p, grid_state, batch, key, cfg, scheduler,
+                train=True, sample_budget=sample_budget,
+            )
+            return sd_loss + nerf_loss, (sd_loss, nerf_loss)
+
+        (total, (sd_loss, nerf_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(trainable)
+
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            total = jax.lax.pmean(total, pmean_axis)
+            sd_loss = jax.lax.pmean(sd_loss, pmean_axis)
+            nerf_loss = jax.lax.pmean(nerf_loss, pmean_axis)
+
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        params = combine(trainable, frozen)
+        metrics = {"loss": total, "sd_loss": sd_loss, "nerf_loss": nerf_loss}
+        return params, opt_state, metrics
+
+    return step
+
+
+def make_eval_step(cfg: JointConfig, scheduler: DDIMScheduler):
+    """Validation forward (reference train.py:229-243, no grad)."""
+
+    def step(params, grid_state, batch, key):
+        sd_loss, nerf_loss, _ = forward_iteration(
+            params, grid_state, batch, key, cfg, scheduler, train=False,
+        )
+        return {"loss": sd_loss + nerf_loss, "sd_loss": sd_loss,
+                "nerf_loss": nerf_loss}
+
+    return step
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW(lr, wd) as the reference configures it (train.py:177-183)."""
+    return optax.adamw(
+        learning_rate=cfg.lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
+        eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
+    )

