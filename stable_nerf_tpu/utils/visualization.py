@@ -1,0 +1,54 @@
+"""Visualization/debug-dump helpers.
+
+Equivalent of reference utils/visualization_utils.py:6-34
+(sample_save_for_vis): randomly persist intermediate tensors (e.g. noisy
+latents, noise predictions — reference train.py:93,102) into a directory
+with auto-incremented names, plus PNG image saving used by the drivers.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Optional
+
+import numpy as np
+
+
+def sample_save_for_vis(
+    prefix: str,
+    tensor,
+    sample_prob: float = 0.0125,
+    directory: str = "visualizations",
+    rng: Optional[random.Random] = None,
+) -> Optional[str]:
+    """With probability ``sample_prob``, save ``tensor`` as
+    ``<directory>/<prefix>_<k>.npy`` (k auto-increments).  Returns the path
+    when saved, else None."""
+    r = (rng or random).random()
+    if r >= sample_prob:
+        return None
+    os.makedirs(directory, exist_ok=True)
+    k = 0
+    while os.path.exists(os.path.join(directory, f"{prefix}_{k}.npy")):
+        k += 1
+    path = os.path.join(directory, f"{prefix}_{k}.npy")
+    np.save(path, np.asarray(tensor))
+    return path
+
+
+def save_image(path: str, img, *, chw: bool = False):
+    """Save an image array in [0, 1] to PNG (plt.imsave equivalent used at
+    reference train.py:291-293,505-507)."""
+    arr = np.asarray(img)
+    if chw:
+        arr = arr.transpose(1, 2, 0)
+    arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    if arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    try:
+        from PIL import Image
+    except ImportError:
+        np.save(path + ".npy", arr)
+        return
+    Image.fromarray(arr).save(path)
