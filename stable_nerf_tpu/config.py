@@ -193,6 +193,9 @@ class TrainConfig:
     checkpoint_every: int = 50     # epochs; the reference only saves at the end
     log_every: int = 10
     mixed_precision: str = "bfloat16"
+    # static NeRF sample budget per train step (None = dense lattice eval);
+    # the TPU analogue of the reference's mean_count compaction
+    sample_budget: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -72,7 +72,8 @@ def train(
     trainable, _ = partition(params, mask)
     opt_state = optimizer.init(trainable)
 
-    step_fn = jax.jit(make_train_step(cfg, scheduler, optimizer, mask))
+    step_fn = jax.jit(make_train_step(cfg, scheduler, optimizer, mask,
+                                      sample_budget=cfg.train.sample_budget))
     eval_fn = jax.jit(make_eval_step(cfg, scheduler))
     infer_fn = jax.jit(make_inference_step(cfg, scheduler,
                                            cfg.train.num_inference_steps))

@@ -100,6 +100,7 @@ def main(argv=None):
             inference_every=args.inference_every,
             num_inference_steps=args.num_inference_steps,
             seed=args.seed,
+            sample_budget=args.sample_budget,
         ),
     )
 
