@@ -90,7 +90,8 @@ def nerf_density(params: NeRFParams, x, cfg: NeRFConfig,
     Returns: {'sigma': [...] f32, 'geo_feat': [..., geo_feat_dim]}.
     """
     xn = (x + cfg.bound) / (2 * cfg.bound)
-    h = hash_grid_encode(params.hash, xn, cfg.encoding_sigma)
+    h = hash_grid_encode(params.hash, xn, cfg.encoding_sigma,
+                         custom_bwd=cfg.hash_custom_bwd)
     h = _mlp_apply(params.sigma_mlp, h, compute_dtype)
     sigma = jax.nn.relu(h[..., 0]).astype(jnp.float32)
     return {"sigma": sigma, "geo_feat": h[..., 1:]}

@@ -18,6 +18,7 @@ All functions are shape-polymorphic over leading dims and jit/vmap-safe.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -57,18 +58,8 @@ def hash_grid_init(key, cfg: HashGridConfig, dtype=jnp.float32) -> HashGridParam
     return HashGridParams(table=table)
 
 
-def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig):
-    """Encode positions.
-
-    Args:
-      params: hash table.
-      x: [..., 3] positions in [0, 1] (callers rescale from [-bound, bound],
-         reference nerf/network.py:43).
-
-    Returns: [..., n_levels * n_features] features.
-    """
-    batch_shape = x.shape[:-1]
-    x = x.reshape(-1, 3).astype(jnp.float32)                       # [M, 3]
+def _hash_grid_indices_weights(x, cfg: HashGridConfig):
+    """[M, 3] in [0,1] → (flat_idx [M, L, 8] int32, cw [M, L, 8, 1] f32)."""
     M = x.shape[0]
     scales, resolutions, dense = _level_geometry(cfg)
     T = cfg.table_size
@@ -102,9 +93,6 @@ def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig):
     level_off = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[None, :, None]
     flat_idx = (idx + level_off).astype(jnp.int32)                 # [M, L, 8]
 
-    feats = params.table[flat_idx.reshape(-1)]                     # [M*L*8, F]
-    feats = feats.reshape(M, L, 8, cfg.n_features_per_level)
-
     # trilinear weights in the same corner order
     wx, wy, wz = w[..., 0:1], w[..., 1:2], w[..., 2:3]             # [M, L, 1]
     cw = jnp.stack(
@@ -120,8 +108,73 @@ def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig):
         ],
         axis=2,
     )                                                              # [M, L, 8, 1]
-    out = jnp.sum(feats * cw, axis=2)                              # [M, L, F]
-    return out.reshape(*batch_shape, L * cfg.n_features_per_level)
+    return flat_idx, cw
+
+
+def _hash_encode_from_table(table, flat_idx, cw, cfg: HashGridConfig):
+    M, L = flat_idx.shape[:2]
+    feats = table[flat_idx.reshape(-1)]
+    feats = feats.reshape(M, L, 8, cfg.n_features_per_level)
+    return jnp.sum(feats * cw, axis=2).reshape(M, L * cfg.n_features_per_level)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _hash_encode_custom(table, x, cfg: HashGridConfig):
+    flat_idx, cw = _hash_grid_indices_weights(x, cfg)
+    return _hash_encode_from_table(table, flat_idx, cw, cfg)
+
+
+def _hash_encode_fwd(table, x, cfg):
+    flat_idx, cw = _hash_grid_indices_weights(x, cfg)
+    return _hash_encode_from_table(table, flat_idx, cw, cfg), (x,)
+
+
+def _hash_encode_bwd(cfg, res, g):
+    """Table gradient via the Pallas sorted-block scatter
+    (ops/pallas/scatter.py) — ~20× cheaper on TPU than XLA's scatter-add.
+    Positions get zero gradient (they come from ray data; the reference
+    never propagates into them either)."""
+    from .pallas.scatter import hash_scatter_add
+
+    (x,) = res
+    flat_idx, cw = _hash_grid_indices_weights(x, cfg)
+    M, L = flat_idx.shape[:2]
+    F = cfg.n_features_per_level
+    g = g.reshape(M, L, 1, F)
+    upd = (cw * g).reshape(M * L * 8, F)                  # [M·L·8, F]
+    table_grad = hash_scatter_add(
+        flat_idx.reshape(-1), upd, cfg.n_levels * cfg.table_size
+    )
+    return table_grad, jnp.zeros_like(x)
+
+
+_hash_encode_custom.defvjp(_hash_encode_fwd, _hash_encode_bwd)
+
+
+def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig,
+                     custom_bwd: bool = False):
+    """Encode positions.
+
+    Args:
+      params: hash table.
+      x: [..., 3] positions in [0, 1] (callers rescale from [-bound, bound],
+         reference nerf/network.py:43).
+      custom_bwd: route the table gradient through the Pallas sorted-block
+        scatter kernel (TPU) instead of XLA scatter-add; identical numerics
+        up to f32 summation order.  Note: positions receive zero gradient
+        on this path.
+
+    Returns: [..., n_levels * n_features] features.
+    """
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, 3).astype(jnp.float32)                      # [M, 3]
+    out_dim = cfg.n_levels * cfg.n_features_per_level
+    if custom_bwd:
+        out = _hash_encode_custom(params.table, xf, cfg)
+    else:
+        flat_idx, cw = _hash_grid_indices_weights(xf, cfg)
+        out = _hash_encode_from_table(params.table, flat_idx, cw, cfg)
+    return out.reshape(*batch_shape, out_dim)
 
 
 # ---------------------------------------------------------------------------

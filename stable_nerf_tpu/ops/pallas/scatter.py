@@ -1,0 +1,171 @@
+"""Pallas TPU scatter-add for hash-table gradients.
+
+Why: XLA's TPU scatter-add costs ~50-60 ns per update regardless of
+sorted/unique hints (measured on v5e; see ARCHITECTURE.md) — at the
+reference workload's ~16-33M updates/step into the 2^19-entry hash levels
+that is ~1-2 s and dominates the NeRF backward (the hard part predicted by
+SURVEY.md §7).
+
+Approach ("sorted block accumulate"): sort updates by table index once
+(multi-operand `lax.sort`), then a Pallas kernel walks table blocks; each
+block streams its update range from HBM in lane-aligned [8, 128] windows
+and accumulates with an iota-compare one-hot contraction per row:
+
+    onehot[j, l] = (j == idx_row[l] − block_start)     # [block, 128]
+    acc[f, :]   += upd_row_f [1, 128] · onehotᵀ        # dot_general A@Bᵀ
+
+No per-element dynamic indexing (Mosaic forbids it), no atomics, no
+unaligned slices (windows align to 1024-element boundaries; over-read
+neighbors belong to other blocks by sortedness, so their one-hot columns
+are zero; padding uses idx = table_size which no block matches).  Per-block
+ranges come from a host-side `searchsorted` through scalar prefetch;
+ragged ranges use a dynamic `fori_loop` bound (grid steps are sequential
+on the core, so skew costs nothing).  The kernel emits [F, T]; the host
+transposes.
+
+`hash_scatter_add` is the public entry: sorts, packs, and calls the kernel
+on TPU; falls back to `.at[].add` elsewhere (identical semantics — the CPU
+test suite's correctness oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_WIN_ROWS = 8                       # rows per DMA window
+_WIN = _WIN_ROWS * _LANES           # 1024 updates per window
+
+
+def _scatter_kernel(starts_ref, idx_hbm, upd_hbm, out_ref, acc_ref,
+                    idx_scr, upd_scr, sems, *, block: int, feat: int):
+    b = pl.program_id(0)
+    start = starts_ref[b]
+    end = starts_ref[b + 1]
+    w0 = start // _WIN
+    n_wins = jnp.maximum((end + _WIN - 1) // _WIN - w0, 0)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    base = b * block
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (block, _LANES), 0)
+
+    def window(k, _):
+        r = (w0 + k) * _WIN_ROWS
+        idx_dma = pltpu.make_async_copy(
+            idx_hbm.at[pl.ds(r, _WIN_ROWS), :], idx_scr, sems.at[0]
+        )
+        upd_dma = pltpu.make_async_copy(
+            upd_hbm.at[pl.ds(r, _WIN_ROWS), :], upd_scr, sems.at[1]
+        )
+        idx_dma.start()
+        upd_dma.start()
+        idx_dma.wait()
+        upd_dma.wait()
+        local_all = idx_scr[...] - base                    # [8, 128]
+        for row in range(_WIN_ROWS):                       # static unroll
+            local = local_all[row:row + 1, :]              # [1, 128]
+            onehot = (rows_iota == local).astype(jnp.float32)  # [block, 128]
+            u = upd_scr[row]                               # [F, 128]
+            # HIGHEST precision: default TPU matmul truncates f32 operands
+            # to bf16 mantissas — unacceptable for gradient accumulation
+            contrib = jax.lax.dot_general(
+                u, onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                              # [F, block]
+            acc_ref[...] += contrib
+        return 0
+
+    jax.lax.fori_loop(0, n_wins, window, 0)
+    out_ref[...] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("table_size", "block"))
+def sorted_block_scatter_add(sidx, supd, table_size: int, *, block: int = 1024):
+    """Scatter-add pre-sorted updates into a [table_size, F] table.
+
+    Args:
+      sidx: [M] int32, SORTED ascending; entries >= table_size are padding.
+      supd: [M, F] float32 updates in the same order.
+
+    Returns: [table_size, F] float32.
+    """
+    M, F = supd.shape
+    assert table_size % block == 0
+    n_blocks = table_size // block
+
+    # pack into lane-aligned rows; pad with idx = table_size (no block
+    # matches it: table_size - b·block >= block for every b)
+    Mpad = ((M + _WIN - 1) // _WIN + 1) * _WIN
+    pad = Mpad - M
+    idx_rows = jnp.concatenate(
+        [sidx.astype(jnp.int32), jnp.full((pad,), table_size, jnp.int32)]
+    ).reshape(-1, _LANES)                                   # [Mpad/128, 128]
+    upd_pad = jnp.concatenate([supd, jnp.zeros((pad, F), supd.dtype)])
+    upd_rows = jnp.stack(
+        [upd_pad[:, f].reshape(-1, _LANES) for f in range(F)], axis=1
+    )                                                       # [Mpad/128, F, 128]
+
+    boundaries = jnp.arange(0, table_size + 1, block, dtype=jnp.int32)
+    starts = jnp.searchsorted(sidx, boundaries).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((F, block), lambda i, *_: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((F, block), jnp.float32),
+            pltpu.VMEM((_WIN_ROWS, _LANES), jnp.int32),
+            pltpu.VMEM((_WIN_ROWS, F, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_scatter_kernel, block=block, feat=F)
+    out_ft = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F, table_size), jnp.float32),
+    )(starts, idx_rows, upd_rows)
+    return out_ft.T
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def hash_scatter_add(idx, upd, table_size: int, *, use_pallas: Optional[bool] = None):
+    """Unsorted scatter-add: grad_table = zeros.at[idx].add(upd).
+
+    On TPU, sorts (multi-operand lax.sort keeps the payload attached) and
+    runs the Pallas sorted-block kernel; elsewhere (or when use_pallas is
+    False) uses the jnp scatter — identical numerics up to f32 summation
+    order.
+    """
+    idx = idx.astype(jnp.int32)
+    upd = upd.astype(jnp.float32)
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if not use_pallas:
+        F = upd.shape[-1]
+        return jnp.zeros((table_size, F), jnp.float32).at[idx].add(
+            upd, mode="drop"
+        )
+    operands = [idx] + [upd[:, f] for f in range(upd.shape[-1])]
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    sidx = sorted_ops[0]
+    supd = jnp.stack(sorted_ops[1:], axis=-1)
+    return sorted_block_scatter_add(sidx, supd, table_size)
