@@ -128,3 +128,120 @@ def march_rays_lattice(
     if K > max_steps:
         valid = valid & (jnp.cumsum(valid.astype(jnp.int32), axis=-1) <= max_steps)
     return pos, ts, dt, valid, t0
+
+
+def march_rays_iterative(
+    rays_o,
+    rays_d,
+    nears,
+    fars,
+    occ_grid,
+    *,
+    bound: float,
+    cascade: int,
+    grid_size: int,
+    max_steps: int,
+    dt_gamma: float = 0.0,
+    n_samples: int | None = None,
+    noise=None,
+    iter_max: int | None = None,
+):
+    """Exact transcription of the CUDA DDA march as a fixed-shape scan.
+
+    Implements kernel_march_rays_train (raymarching.cu:312-491) step for
+    step, including cone-angle stepping (``dt_gamma > 0``, raymarching.cu:366)
+    and analytic voxel skipping — the slow-but-exact oracle used to validate
+    :func:`march_rays_lattice` (which is equivalent when dt_gamma == 0) and
+    the only path supporting dt_gamma > 0.
+
+    Returns:
+      xyzs [N, K, 3], ts [N, K] (sample distances), dts [N, K] (per-sample
+      step sizes, the CUDA deltas[:, 0]), delta_depth [N, K] (deltas[:, 1]),
+      valid [N, K], t0 [N].
+    """
+    K = n_samples if n_samples is not None else max_steps
+    H = grid_size
+    dt_min = jnp.float32(2.0 * SQRT3 / max_steps)
+    dt_max = jnp.float32(2.0 * SQRT3 * (2 ** (cascade - 1)) / H)
+    occ_flat = occ_grid.reshape(-1)
+    # safety bound on total iterations: every iteration either writes a
+    # sample (≤ max_steps) or crosses ≥ 1 voxel boundary (≤ ~3H per cascade)
+    ITER = iter_max if iter_max is not None else max_steps + 4 * H * cascade
+
+    def one_ray(o, d, near, far, nz):
+        t0 = near + jnp.clip(near * dt_gamma, dt_min, dt_max) * nz
+        rd = 1.0 / d
+
+        def probe(t):
+            pos = jnp.clip(o + t * d, -bound, bound)
+            dt = jnp.clip(t * dt_gamma, dt_min, dt_max)
+            level = jnp.maximum(
+                mip_from_pos(pos, cascade), mip_from_dt(dt, H, cascade)
+            )
+            mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), bound)
+            n = jnp.clip((0.5 * (pos / mip_bound + 1.0) * H).astype(jnp.int32),
+                         0, H - 1)
+            flat = ((level * H + n[0]) * H + n[1]) * H + n[2]
+            occ = occ_flat[flat]
+            return pos, dt, n, mip_bound, occ
+
+        def skip(t, n, mip_bound):
+            # distance to next voxel boundary (raymarching.cu:390-399)
+            nf = n.astype(jnp.float32)
+            bounds = ((nf + 0.5 + 0.5 * jnp.sign(d)) / H * 2.0 - 1.0) * mip_bound
+            pos = jnp.clip(o + t * d, -bound, bound)
+            tv = (bounds - pos) * rd
+            tt = t + jnp.maximum(0.0, jnp.min(tv))
+
+            def cond(tc):
+                return tc < tt
+
+            def body(tc):
+                return tc + jnp.clip(tc * dt_gamma, dt_min, dt_max)
+
+            # do-while: advance at least once
+            t = body(t)
+            return jax.lax.while_loop(cond, body, t)
+
+        def iter_body(it, state):
+            t, last_t, step, xyzs, ts, dts, dd, valid = state
+            active = (t < far) & (step < max_steps)
+            pos, dt, n, mip_bound, occ = probe(t)
+
+            def write(_):
+                t_new = t + dt
+                s = jnp.minimum(step, K - 1)
+                return (
+                    t_new, t_new, step + 1,
+                    jax.lax.dynamic_update_slice(xyzs, pos[None], (s, 0)),
+                    jax.lax.dynamic_update_slice(ts, t[None], (s,)),
+                    jax.lax.dynamic_update_slice(dts, dt[None], (s,)),
+                    jax.lax.dynamic_update_slice(dd, (t_new - last_t)[None], (s,)),
+                    jax.lax.dynamic_update_slice(
+                        valid, (step < K)[None], (s,)),
+                )
+
+            def advance(_):
+                return (skip(t, n, mip_bound), last_t, step,
+                        xyzs, ts, dts, dd, valid)
+
+            new_state = jax.lax.cond(occ, write, advance, None)
+            return jax.tree.map(
+                lambda new, old: jnp.where(active, new, old), new_state, state
+            )
+
+        init = (
+            t0, t0, jnp.int32(0),
+            jnp.zeros((K, 3), jnp.float32), jnp.zeros((K,), jnp.float32),
+            jnp.zeros((K,), jnp.float32), jnp.zeros((K,), jnp.float32),
+            jnp.zeros((K,), bool),
+        )
+        state = jax.lax.fori_loop(0, ITER, iter_body, init)
+        _, _, _, xyzs, ts, dts, dd, valid = state
+        return xyzs, ts, dts, dd, valid, t0
+
+    rays_o = rays_o.astype(jnp.float32)
+    rays_d = rays_d.astype(jnp.float32)
+    if noise is None:
+        noise = jnp.zeros(rays_o.shape[0])
+    return jax.vmap(one_ray)(rays_o, rays_d, nears, fars, noise)

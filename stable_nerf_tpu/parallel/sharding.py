@@ -32,6 +32,30 @@ def make_mesh(n_devices: int = -1, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def process_shard_indices(n_samples: int) -> np.ndarray:
+    """This host's slice of the dataset for multi-host training.
+
+    The reference's accelerate launcher shards batches via DistributedSampler;
+    the JAX-native equivalent: each process loads only its contiguous slice
+    (SURVEY.md §5 "host data sharding per process").
+    """
+    p = jax.process_index()
+    n = jax.process_count()
+    per = n_samples // n
+    start = p * per
+    end = start + per if p < n - 1 else n_samples
+    return np.arange(start, end)
+
+
+def barrier(name: str = "sync"):
+    """Cross-host barrier (the reference's accelerator.wait_for_everyone(),
+    train.py:312)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Place every leaf fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())
