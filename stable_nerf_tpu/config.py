@@ -200,6 +200,10 @@ class TrainConfig:
     # static NeRF sample budget per train step (None = dense lattice eval);
     # the TPU analogue of the reference's mean_count compaction
     sample_budget: Optional[int] = None
+    # eval/inference budget — the reference evaluates all alive samples
+    # (force_all_rays); a generous budget keeps that in practice while
+    # skipping unoccupied lattice slots
+    sample_budget_eval: Optional[int] = None
 
 
 @dataclass(frozen=True)

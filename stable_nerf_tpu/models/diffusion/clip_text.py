@@ -245,3 +245,44 @@ def encode_prompt_sdxl(
         [out_1["penultimate"], out_2["penultimate"]], axis=-1
     )
     return prompt_embeds, out_2["pooled"]
+
+
+def encode_prompt(
+    params_1: Dict, params_2: Dict, ids_1, ids_2, neg_ids_1, neg_ids_2,
+    cfg_1: CLIPTextConfig = None, cfg_2: CLIPTextConfig = None,
+):
+    """Full reference-signature prompt encoding (utils/sd_utils.py:133-340):
+    positive AND negative (CFG) embeds.
+
+    Returns (prompt_embeds, negative_prompt_embeds, pooled,
+    negative_pooled) — the 4-tuple init_empty_prompts consumes
+    (reference stable_diffusion/network.py:118-134)."""
+    pe, pp = encode_prompt_sdxl(params_1, params_2, ids_1, ids_2, cfg_1, cfg_2)
+    ne, np_ = encode_prompt_sdxl(params_1, params_2, neg_ids_1, neg_ids_2,
+                                 cfg_1, cfg_2)
+    return pe, ne, pp, np_
+
+
+def make_empty_prompt_conditioning(
+    params_1: Dict, params_2: Dict,
+    cfg_1: CLIPTextConfig = None, cfg_2: CLIPTextConfig = None,
+    resolution: int = 1024,
+):
+    """Cache the empty-prompt SDXL conditioning once, as the reference does
+    at init (stable_diffusion/network.py:114-168 init_empty_prompts):
+    pooled embeds become `add_text_embeds`; `add_time_ids` packs
+    (original_size, crop_topleft, target_size) at resolution 1024.
+
+    Returns (prompt_embeds [1, 77, 2048], add_text_embeds [1, 1280],
+    add_time_ids [1, 6]) — feed the latter two into sd_network_init.
+    """
+    cfg_1 = cfg_1 or clip_l_config()
+    cfg_2 = cfg_2 or open_clip_bigg_config()
+    ids_1 = empty_prompt_ids(cfg_1)
+    ids_2 = empty_prompt_ids(cfg_2)
+    prompt_embeds, pooled = encode_prompt_sdxl(
+        params_1, params_2, ids_1, ids_2, cfg_1, cfg_2
+    )
+    r = float(resolution)
+    add_time_ids = jnp.asarray([[r, r, 0.0, 0.0, r, r]], jnp.float32)
+    return prompt_embeds, pooled, add_time_ids

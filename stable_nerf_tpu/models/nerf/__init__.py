@@ -3,6 +3,7 @@ from .grid import (
     OccupancyGridState,
     grid_init,
     mark_untrained_grid,
+    reset_extra_state,
     update_extra_state,
 )
 from .renderer import render
@@ -15,6 +16,7 @@ __all__ = [
     "OccupancyGridState",
     "grid_init",
     "mark_untrained_grid",
+    "reset_extra_state",
     "update_extra_state",
     "render",
 ]

@@ -47,6 +47,12 @@ def grid_init(cfg: NeRFConfig) -> OccupancyGridState:
     )
 
 
+def reset_extra_state(cfg: NeRFConfig) -> OccupancyGridState:
+    """Zero all grid state (reference renderer.py:60-68 reset_extra_state;
+    note -1 untrained markers are also cleared, as there)."""
+    return grid_init(cfg)
+
+
 def _cell_coords(H: int):
     """[H³, 3] int32 cell coordinates in linear order."""
     r = jnp.arange(H, dtype=jnp.int32)

@@ -61,6 +61,7 @@ def make_inference_step(
             batch["target_rays_o"], batch["target_rays_d"], cfg.nerf,
             bg_color=cfg.train.bg_color, max_steps=cfg.train.max_steps_eval,
             compute_dtype=compute_dtype,
+            sample_budget=cfg.train.sample_budget_eval,
         )
         # NOT ×2−1 (reference train.py:371 quirk)
         pred_target_lt = out["image"].reshape(B, enc, enc, C).transpose(0, 3, 1, 2)

@@ -106,3 +106,38 @@ class TestSDXLPromptPath:
         assert np.all(ids[:, 2:] == 49407)          # CLIP-L pads with eos
         ids2 = np.asarray(empty_prompt_ids(open_clip_bigg_config()))
         assert np.all(ids2[:, 2:] == 0)             # bigG pads with 0
+
+
+class TestFullPromptAPI:
+    def test_encode_prompt_four_tuple(self, key):
+        import jax
+        from stable_nerf_tpu.models.diffusion.clip_text import (
+            encode_prompt, make_empty_prompt_conditioning)
+        cfg1 = small_cfg()
+        cfg2 = small_cfg(hidden_size=96, num_heads=6, hidden_act="gelu",
+                         projection_dim=96, pad_token_id=0)
+        k1, k2 = jax.random.split(key)
+        p1, p2 = clip_text_init(k1, cfg1), clip_text_init(k2, cfg2)
+        ids1 = empty_prompt_ids(cfg1) % cfg1.vocab_size
+        ids2 = empty_prompt_ids(cfg2) % cfg2.vocab_size
+        pe, ne, pp, np_ = encode_prompt(p1, p2, ids1, ids2, ids1, ids2,
+                                        cfg1, cfg2)
+        assert pe.shape == ne.shape == (1, 77, 64 + 96)
+        assert pp.shape == np_.shape == (1, 96)
+        np.testing.assert_allclose(np.asarray(pe), np.asarray(ne))
+
+    def test_empty_prompt_conditioning(self, key):
+        import jax
+        from stable_nerf_tpu.models.diffusion.clip_text import (
+            make_empty_prompt_conditioning)
+        cfg1 = small_cfg(eos_token_id=999, bos_token_id=998, pad_token_id=999)
+        cfg2 = small_cfg(hidden_size=96, num_heads=6, hidden_act="gelu",
+                         projection_dim=96, pad_token_id=0,
+                         eos_token_id=999, bos_token_id=998)
+        k1, k2 = jax.random.split(key)
+        p1, p2 = clip_text_init(k1, cfg1), clip_text_init(k2, cfg2)
+        pe, pooled, tids = make_empty_prompt_conditioning(p1, p2, cfg1, cfg2)
+        assert pe.shape == (1, 77, 64 + 96)
+        assert pooled.shape == (1, 96)
+        np.testing.assert_allclose(
+            np.asarray(tids), [[1024., 1024., 0., 0., 1024., 1024.]])
