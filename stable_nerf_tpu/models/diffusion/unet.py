@@ -92,9 +92,9 @@ def tiny_unet_config() -> UNetConfig:
 # init
 # ---------------------------------------------------------------------------
 
-def _kinit(key, shape, fan_in):
+def _kinit(key, shape, fan_in, dtype=jnp.float32):
     scale = 1.0 / math.sqrt(fan_in)
-    return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
+    return jax.random.uniform(key, shape, dtype, -scale, scale)
 
 
 class _KeyGen:
@@ -106,20 +106,20 @@ class _KeyGen:
         return sub
 
 
-def _lin_init(kg, din, dout, bias=True):
-    p = {"kernel": _kinit(kg(), (din, dout), din)}
+def _lin_init(kg, din, dout, bias=True, dtype=jnp.float32):
+    p = {"kernel": _kinit(kg(), (din, dout), din, dtype)}
     if bias:
-        p["bias"] = jnp.zeros(dout)
+        p["bias"] = jnp.zeros(dout, dtype)
     return p
 
 
-def _conv_init(kg, cin, cout, k=3):
-    return {"kernel": _kinit(kg(), (cout, cin, k, k), cin * k * k),
-            "bias": jnp.zeros(cout)}
+def _conv_init(kg, cin, cout, k=3, dtype=jnp.float32):
+    return {"kernel": _kinit(kg(), (cout, cin, k, k), cin * k * k, dtype),
+            "bias": jnp.zeros(cout, dtype)}
 
 
-def _norm_init(c):
-    return {"scale": jnp.ones(c), "bias": jnp.zeros(c)}
+def _norm_init(c, dtype=jnp.float32):
+    return {"scale": jnp.ones(c, dtype), "bias": jnp.zeros(c, dtype)}
 
 
 def _resnet_init(kg, cin, cout, temb_dim):
