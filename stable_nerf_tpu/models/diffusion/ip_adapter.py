@@ -15,7 +15,7 @@ see weights.py / sd_network.py).
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -17,9 +17,8 @@ the composited loss back through ``scatter_back`` → network eval →
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 

@@ -15,11 +15,9 @@ since XLA lowers the collectives per topology.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -88,7 +86,6 @@ def make_parallel_train_step(step_fn, mesh: Mesh, axis: str = "data"):
             return _shard_map(f, **kw)
     except ImportError:  # older jax: needs check_rep=False for pmean'd outs
         from jax.experimental.shard_map import shard_map as _shard_map
-        from functools import partial as _partial
 
         def shard_map(f, **kw):
             return _shard_map(f, check_rep=False, **kw)

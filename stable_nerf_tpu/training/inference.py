@@ -16,14 +16,11 @@ The whole 50-step loop is one jitted lax.scan — no per-step host round trip.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 
 from ..models.diffusion.scheduler import DDIMScheduler
 from ..models.diffusion.sd_network import decode_latents, encode_images, sd_forward
-from ..models.nerf.grid import OccupancyGridState
 from ..models.nerf.renderer import render
 from ..utils.losses import l2_loss, psnr, ssim
 from .joint import JointConfig

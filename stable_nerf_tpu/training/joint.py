@@ -22,8 +22,7 @@ Design deltas (documented divergences, SURVEY.md §7):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,6 @@ from ..models.diffusion.sd_network import (
     trainable_mask as sd_trainable_mask,
 )
 from ..models.nerf.grid import OccupancyGridState
-from ..models.nerf.network import NeRFParams
 from ..models.nerf.renderer import render
 from ..utils.losses import l1_loss, mse_loss
 from ..utils.pytree import combine, partition

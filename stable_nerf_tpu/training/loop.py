@@ -13,13 +13,11 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..data.dataset import StableNeRFDataset, iterate, split_dataset
 from ..data.prefetch import device_prefetch
