@@ -1,0 +1,41 @@
+"""CLI surface smoke tests (no training runs)."""
+
+import subprocess
+import sys
+
+import pytest
+
+
+def test_train_help():
+    out = subprocess.run([sys.executable, "train.py", "--help"],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0
+    for flag in ("--inference", "--dataset", "--sdxl-checkpoint",
+                 "--sample-budget", "--tiny", "--epochs", "--lr"):
+        assert flag in out.stdout
+
+
+def test_fit_nerf_help():
+    out = subprocess.run([sys.executable, "scripts/fit_nerf.py", "--help"],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0
+    assert "--dataset" in out.stdout
+
+
+def test_run_sd_help():
+    out = subprocess.run([sys.executable, "scripts/run_sd.py", "--help"],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0
+    assert "--sdxl-checkpoint" in out.stdout
+
+
+def test_missing_dataset_message(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "train.py", "--tiny", "--dataset", "nerf",
+         "--data-root", str(tmp_path), "--epochs", "1"],
+        capture_output=True, text=True, timeout=300,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "."},
+    )
+    assert out.returncode != 0
+    assert "tiny_nerf_data.npz" in (out.stderr + out.stdout)
