@@ -204,8 +204,13 @@ def make_eval_step(cfg: JointConfig, scheduler: DDIMScheduler):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """AdamW(lr, wd) as the reference configures it (train.py:177-183)."""
-    return optax.adamw(
+    """AdamW(lr, wd) as the reference configures it (train.py:177-183),
+    with optional gradient accumulation (the reference's
+    accelerator.accumulate surface, train.py:202) via optax.MultiSteps."""
+    opt = optax.adamw(
         learning_rate=cfg.lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
         eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
     )
+    if cfg.grad_accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
+    return opt

@@ -210,3 +210,25 @@ class TestDataParallel:
         _, _, m2 = pstep(params_r, opt_r, grid_r, batch, key)
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                    rtol=1e-6)
+
+
+class TestGradAccumulation:
+    def test_multisteps_applies_every_k(self, setup, key):
+        from stable_nerf_tpu.config import TrainConfig
+        cfg, params, grid_state, scheduler = setup
+        mask = joint_trainable_mask(params)
+        opt = make_optimizer(TrainConfig(lr=1e-3, grad_accum_steps=2))
+        trainable, _ = partition(params, mask)
+        opt_state = opt.init(trainable)
+        step = jax.jit(make_train_step(cfg, scheduler, opt, mask))
+        batch = make_batch(key, 2)
+        p1, o1, _ = step(params, opt_state, grid_state, batch, key)
+        # after 1 micro-step: params unchanged (accumulating)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        p2, o2, _ = step(p1, o1, grid_state, batch, jax.random.fold_in(key, 1))
+        # after 2nd micro-step: trainables updated
+        changed = sum(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)))
+        assert changed > 5
