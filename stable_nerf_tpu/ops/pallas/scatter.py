@@ -55,29 +55,52 @@ def _scatter_kernel(starts_ref, idx_hbm, upd_hbm, out_ref, acc_ref,
     base = b * block
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (block, _LANES), 0)
 
-    def window(k, _):
+    # double-buffered window pipeline: slot k%2 holds window k; window k+1's
+    # DMAs are in flight while window k is accumulated
+    def dmas(k, slot):
         r = (w0 + k) * _WIN_ROWS
-        idx_dma = pltpu.make_async_copy(
-            idx_hbm.at[pl.ds(r, _WIN_ROWS), :], idx_scr, sems.at[0]
+        return (
+            pltpu.make_async_copy(idx_hbm.at[pl.ds(r, _WIN_ROWS), :],
+                                  idx_scr.at[slot], sems.at[0, slot]),
+            pltpu.make_async_copy(upd_hbm.at[pl.ds(r, _WIN_ROWS), :],
+                                  upd_scr.at[slot], sems.at[1, slot]),
         )
-        upd_dma = pltpu.make_async_copy(
-            upd_hbm.at[pl.ds(r, _WIN_ROWS), :], upd_scr, sems.at[1]
-        )
-        idx_dma.start()
-        upd_dma.start()
-        idx_dma.wait()
-        upd_dma.wait()
-        local_all = idx_scr[...] - base                    # [8, 128]
+
+    @pl.when(n_wins > 0)
+    def _():
+        d0, d1 = dmas(0, 0)
+        d0.start()
+        d1.start()
+
+    def window(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_wins)
+        def _():
+            d0, d1 = dmas(k + 1, jax.lax.rem(k + 1, 2))
+            d0.start()
+            d1.start()
+
+        d0, d1 = dmas(k, slot)
+        d0.wait()
+        d1.wait()
+        local_all = idx_scr[slot] - base                   # [8, 128]
         for row in range(_WIN_ROWS):                       # static unroll
             local = local_all[row:row + 1, :]              # [1, 128]
-            onehot = (rows_iota == local).astype(jnp.float32)  # [block, 128]
-            u = upd_scr[row]                               # [F, 128]
-            # HIGHEST precision: default TPU matmul truncates f32 operands
-            # to bf16 mantissas — unacceptable for gradient accumulation
-            contrib = jax.lax.dot_general(
-                u, onehot, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            onehot = (rows_iota == local).astype(jnp.bfloat16)  # [block, 128]
+            u = upd_scr[slot, row]                         # [F, 128] f32
+            # f32-accurate accumulation in TWO default-precision passes:
+            # the one-hot operand is EXACT in bf16 (0/1), so only u needs
+            # a hi+lo bf16 split (vs 6 passes under Precision.HIGHEST —
+            # default TPU matmuls truncate f32 operands to bf16 mantissas)
+            u_hi = u.astype(jnp.bfloat16)
+            u_lo = (u - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (1,)), ((), ()))
+            contrib = (
+                jax.lax.dot_general(u_hi, onehot, dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(u_lo, onehot, dn,
+                                      preferred_element_type=jnp.float32)
             )                                              # [F, block]
             acc_ref[...] += contrib
         return 0
@@ -125,9 +148,9 @@ def sorted_block_scatter_add(sidx, supd, table_size: int, *, block: int = 1024):
         out_specs=pl.BlockSpec((F, block), lambda i, *_: (0, i)),
         scratch_shapes=[
             pltpu.VMEM((F, block), jnp.float32),
-            pltpu.VMEM((_WIN_ROWS, _LANES), jnp.int32),
-            pltpu.VMEM((_WIN_ROWS, F, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, _WIN_ROWS, _LANES), jnp.int32),
+            pltpu.VMEM((2, _WIN_ROWS, F, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = functools.partial(_scatter_kernel, block=block, feat=F)
