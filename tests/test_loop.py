@@ -1,0 +1,82 @@
+"""training.loop integration test: 2 epochs end to end on a synthetic
+dataset, covering grid refresh, train/val, inference, checkpointing and
+metric persistence — the training() driver surface (reference
+train.py:110-319)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synthetic_nerf_root(tmp_path_factory):
+    """Blender-convention orbit scene (see verify SKILL: the ngp transform
+    negates rotation cols 1-2, so poses must look along −z)."""
+    root = tmp_path_factory.mktemp("data")
+    (root / "nerf").mkdir()
+    rng = np.random.default_rng(0)
+    n, H = 20, 32
+    poses = np.zeros((n, 4, 4), np.float32)
+    images = rng.uniform(0, 1, (n, H, H, 3)).astype(np.float32)
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        c = 6.0 * np.array([np.sin(th), 0.2, np.cos(th)], np.float32)
+        f = c / np.linalg.norm(c)
+        up = np.array([0, 1, 0], np.float32)
+        x = np.cross(up, f); x /= np.linalg.norm(x)
+        y = np.cross(f, x)
+        poses[i] = np.eye(4)
+        poses[i, :3, :3] = np.stack([x, y, f], -1)
+        poses[i, :3, 3] = c
+    np.savez(root / "nerf" / "tiny_nerf_data.npz", images=images, poses=poses,
+             focal=np.float32(138.0))
+    return str(root)
+
+
+def test_train_loop_end_to_end(synthetic_nerf_root, tmp_path):
+    from stable_nerf_tpu.config import (
+        HashGridConfig, NeRFConfig, SDConfig, TrainConfig,
+    )
+    from stable_nerf_tpu.data.dataset import StableNeRFDataset
+    from stable_nerf_tpu.models.diffusion.sd_network import SDNetworkConfig
+    from stable_nerf_tpu.models.diffusion.unet import tiny_unet_config
+    from stable_nerf_tpu.models.diffusion.vae import VAEConfig
+    from stable_nerf_tpu.training.joint import JointConfig
+    from stable_nerf_tpu.training.loop import train
+
+    cfg = JointConfig(
+        nerf=NeRFConfig(channel_dim=4, grid_size=16,
+                        encoding_sigma=HashGridConfig(n_levels=2,
+                                                      log2_hashmap_size=8,
+                                                      base_resolution=4)),
+        sd=SDNetworkConfig(
+            sd=SDConfig(num_tokens=2, cross_attention_dim=48, latent_size=16,
+                        image_size=32),
+            unet=tiny_unet_config(),
+            vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                          norm_groups=8),
+        ),
+        train=TrainConfig(batch_size=2, max_steps_train=16, max_steps_eval=16,
+                          inference_every=2, num_inference_steps=4,
+                          checkpoint_every=1),
+    )
+    ds = StableNeRFDataset("nerf", shape=32, encoded_shape=16,
+                           root=synthetic_nerf_root)
+    workdir = str(tmp_path / "work")
+    params, grid_state, history = train(cfg, ds, workdir=workdir, epochs=2,
+                                        log_fn=lambda *a: None)
+
+    assert len(history) == 2
+    for rec in history:
+        assert np.isfinite(rec["train_loss"])
+        assert np.isfinite(rec["val_loss"])
+    # metrics persisted as JSONL
+    lines = open(os.path.join(workdir, "metrics.jsonl")).read().splitlines()
+    assert len(lines) == 2 and json.loads(lines[0])["epoch"] == 0
+    # checkpoints written (epoch cadence 1 + final)
+    ckpts = os.listdir(os.path.join(workdir, "checkpoints"))
+    assert len(ckpts) >= 1
+    # grid state advanced
+    assert int(grid_state.iter_density) == 2

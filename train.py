@@ -139,13 +139,34 @@ def run_inference(cfg, dataset, workdir):
 
     from stable_nerf_tpu.data.dataset import iterate, split_dataset
     from stable_nerf_tpu.models.diffusion.scheduler import DDIMScheduler
+    from stable_nerf_tpu.models.diffusion.sd_network import sd_network_init
+    from stable_nerf_tpu.models.nerf import grid_init, nerf_init
     from stable_nerf_tpu.training.checkpoints import CheckpointManager
     from stable_nerf_tpu.training.inference import make_inference_step
+    from stable_nerf_tpu.training.joint import (
+        joint_trainable_mask, make_optimizer,
+    )
+    from stable_nerf_tpu.utils.pytree import partition
 
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
-    state = ckpt.restore()
-    if state is None:
+    if ckpt.latest_step() is None:
         sys.exit(f"no checkpoint found under {workdir}/checkpoints")
+
+    # orbax restores raw dicts/lists without a template — rebuild the exact
+    # training-state structure (NamedTuples included) so types round-trip
+    k = jax.random.PRNGKey(0)
+    k_sd, k_nerf = jax.random.split(k)
+    params_t = {"sd": sd_network_init(k_sd, cfg.sd),
+                "nerf": nerf_init(k_nerf, cfg.nerf)}
+    trainable_t, _ = partition(params_t, joint_trainable_mask(params_t))
+    opt_state_t = make_optimizer(cfg.train).init(trainable_t)
+    template = {
+        "params": params_t,
+        "opt_state": opt_state_t,
+        "grid_state": grid_init(cfg.nerf),
+        "extra": {"epoch": 0},
+    }
+    state = ckpt.restore(template=template)
     params, grid_state = state["params"], state["grid_state"]
 
     scheduler = DDIMScheduler.create(cfg.sd.scheduler)
