@@ -1,0 +1,58 @@
+"""Coverage for profiling and visualization utilities."""
+
+import os
+import time
+
+import numpy as np
+
+from stable_nerf_tpu.utils.profiling import StepTimer, device_memory_stats
+from stable_nerf_tpu.utils.visualization import sample_save_for_vis, save_image
+
+
+class TestStepTimer:
+    def test_rates(self):
+        t = StepTimer()
+        for _ in range(3):
+            with t.step(rays=1000):
+                time.sleep(0.01)
+        assert t.total_steps == 3
+        assert t.total_rays == 3000
+        assert 10 < t.steps_per_sec() < 120
+        assert 10_000 < t.rays_per_sec() < 120_000
+
+    def test_empty(self):
+        t = StepTimer()
+        assert t.steps_per_sec() == 0.0
+        assert t.rays_per_sec() == 0.0
+
+
+def test_device_memory_stats_shape():
+    out = device_memory_stats()
+    assert isinstance(out, dict)          # may be empty on CPU backends
+
+
+class TestVisualization:
+    def test_sample_save_prob_zero(self, tmp_path):
+        assert sample_save_for_vis("x", np.zeros(3), 0.0,
+                                   directory=str(tmp_path)) is None
+        assert not os.listdir(tmp_path)
+
+    def test_sample_save_autoincrement(self, tmp_path):
+        p1 = sample_save_for_vis("lat", np.ones(3), 1.0, directory=str(tmp_path))
+        p2 = sample_save_for_vis("lat", np.ones(3), 1.0, directory=str(tmp_path))
+        assert p1.endswith("lat_0.npy") and p2.endswith("lat_1.npy")
+        np.testing.assert_array_equal(np.load(p2), np.ones(3))
+
+    def test_save_image_roundtrip(self, tmp_path):
+        from PIL import Image
+
+        img = np.random.default_rng(0).uniform(0, 1, (8, 8, 3))
+        path = str(tmp_path / "x.png")
+        save_image(path, img)
+        back = np.asarray(Image.open(path)) / 255.0
+        np.testing.assert_allclose(back, img, atol=1 / 255 + 1e-6)
+
+    def test_save_image_chw(self, tmp_path):
+        img = np.zeros((3, 4, 4))
+        save_image(str(tmp_path / "c.png"), img, chw=True)
+        assert os.path.exists(tmp_path / "c.png")
