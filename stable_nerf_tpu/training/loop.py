@@ -21,6 +21,12 @@ import numpy as np
 
 from ..data.dataset import StableNeRFDataset, iterate, split_dataset
 from ..data.prefetch import device_prefetch
+from ..parallel.sharding import (
+    make_mesh,
+    make_parallel_train_step,
+    process_shard_indices,
+    replicate,
+)
 from ..models.diffusion.scheduler import DDIMScheduler
 from ..models.diffusion.sd_network import sd_network_init, init_ip_from_unet
 from ..models.nerf.grid import grid_init, mark_untrained_grid, update_extra_state
@@ -47,8 +53,20 @@ def train(
     epochs: Optional[int] = None,
     pretrained_sd: Optional[Dict] = None,
     log_fn=print,
+    data_parallel: bool = False,
+    mesh=None,
 ):
-    """Run joint training; returns (params, grid_state, metrics_history)."""
+    """Run joint training; returns (params, grid_state, metrics_history).
+
+    With ``data_parallel=True`` (or an explicit ``mesh``), the train step is
+    shard_map'd over a 1-D ``data`` mesh — params/optimizer/grid replicated,
+    batch sharded on its leading axis, gradients pmean'd over ICI (the
+    reference's DDP layer, train.py:122-126,185-188, with the NeRF included
+    in the grad sync — documented divergence, SURVEY.md §7 delta 4).  Each
+    device sees ``cfg.train.batch_size`` samples per step, matching DDP's
+    per-worker batch semantics; on multi-host, each process additionally
+    iterates only its slice of the train split (DistributedSampler
+    equivalent)."""
     os.makedirs(workdir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
     k_sd, k_nerf, key = jax.random.split(key, 3)
@@ -56,7 +74,24 @@ def train(
     scheduler = DDIMScheduler.create(cfg.sd.scheduler)
     sd_params = sd_network_init(k_sd, cfg.sd)
     if pretrained_sd is not None:
+        pretrained_sd = dict(pretrained_sd)
+        # The CLIP text towers only exist to cache the empty-prompt SDXL
+        # conditioning once at init (reference network.py:114-168); they are
+        # consumed here and never enter the jitted train step.
+        te1 = pretrained_sd.pop("text_encoder", None)
+        te2 = pretrained_sd.pop("text_encoder_2", None)
         sd_params.update(pretrained_sd)
+        if te1 is not None and te2 is not None:
+            from ..models.diffusion.clip_text import (
+                make_empty_prompt_conditioning,
+            )
+
+            _, pooled, time_ids = jax.jit(make_empty_prompt_conditioning)(
+                te1, te2)
+            sd_params["add_text_embeds"] = pooled
+            sd_params["add_time_ids"] = time_ids
+            log_fn("cached real empty-prompt conditioning "
+                   f"(pooled mean {float(pooled.mean()):+.4f})")
     sd_params = init_ip_from_unet(sd_params)
     params = {"sd": sd_params, "nerf": nerf_init(k_nerf, cfg.nerf)}
 
@@ -70,8 +105,26 @@ def train(
     trainable, _ = partition(params, mask)
     opt_state = optimizer.init(trainable)
 
-    step_fn = jax.jit(make_train_step(cfg, scheduler, optimizer, mask,
-                                      sample_budget=cfg.train.sample_budget))
+    if data_parallel and mesh is None:
+        mesh = make_mesh()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.devices.size)
+        inner = make_train_step(cfg, scheduler, optimizer, mask,
+                                sample_budget=cfg.train.sample_budget,
+                                pmean_axis="data")
+        step_fn = make_parallel_train_step(inner, mesh)
+        batch_sharding = NamedSharding(mesh, P("data"))
+        global_batch = cfg.train.batch_size * n_dev
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        grid_state = replicate(grid_state, mesh)
+    else:
+        step_fn = jax.jit(make_train_step(cfg, scheduler, optimizer, mask,
+                                          sample_budget=cfg.train.sample_budget))
+        batch_sharding = None
+        global_batch = cfg.train.batch_size
     eval_fn = jax.jit(make_eval_step(cfg, scheduler))
     infer_fn = jax.jit(make_inference_step(cfg, scheduler,
                                            cfg.train.num_inference_steps))
@@ -86,6 +139,8 @@ def train(
 
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
     tr_idx, va_idx, te_idx = split_dataset(len(dataset), 0.8, 0.1, seed=seed)
+    if mesh is not None and jax.process_count() > 1:
+        tr_idx = tr_idx[process_shard_indices(len(tr_idx))]
     epochs = epochs if epochs is not None else cfg.train.epochs
     history = []
     timer = StepTimer()
@@ -97,11 +152,12 @@ def train(
 
         train_metrics = []
         for batch in device_prefetch(
-            iterate(dataset, tr_idx, cfg.train.batch_size, shuffle=True,
-                    seed=seed + epoch)
+            iterate(dataset, tr_idx, global_batch, shuffle=True,
+                    seed=seed + epoch),
+            sharding=batch_sharding,
         ):
             key, k_step = jax.random.split(key)
-            with timer.step(rays=2 * cfg.train.batch_size * cfg.latent_hw ** 2):
+            with timer.step(rays=2 * global_batch * cfg.latent_hw ** 2):
                 params, opt_state, m = step_fn(
                     params, opt_state, grid_state, batch, k_step
                 )

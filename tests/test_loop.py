@@ -80,3 +80,64 @@ def test_train_loop_end_to_end(synthetic_nerf_root, tmp_path):
     assert len(ckpts) >= 1
     # grid state advanced
     assert int(grid_state.iter_density) == 2
+
+
+def test_train_loop_data_parallel(synthetic_nerf_root, tmp_path):
+    """Drive training.loop.train itself over the 8-virtual-device mesh
+    (VERDICT round-1 item 3): params must come back fully replicated and
+    bit-identical across devices, and the loop must produce finite losses."""
+    import jax
+    from stable_nerf_tpu.config import (
+        HashGridConfig, NeRFConfig, SDConfig, TrainConfig,
+    )
+    from stable_nerf_tpu.data.dataset import StableNeRFDataset
+    from stable_nerf_tpu.models.diffusion.sd_network import SDNetworkConfig
+    from stable_nerf_tpu.models.diffusion.unet import tiny_unet_config
+    from stable_nerf_tpu.models.diffusion.vae import VAEConfig
+    from stable_nerf_tpu.parallel.sharding import make_mesh
+    from stable_nerf_tpu.training.joint import JointConfig
+    from stable_nerf_tpu.training.loop import train
+
+    cfg = JointConfig(
+        nerf=NeRFConfig(channel_dim=4, grid_size=16,
+                        encoding_sigma=HashGridConfig(n_levels=2,
+                                                      log2_hashmap_size=8,
+                                                      base_resolution=4)),
+        sd=SDNetworkConfig(
+            sd=SDConfig(num_tokens=2, cross_attention_dim=48, latent_size=16,
+                        image_size=32),
+            unet=tiny_unet_config(),
+            vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                          norm_groups=8),
+        ),
+        train=TrainConfig(batch_size=1, max_steps_train=16, max_steps_eval=16,
+                          inference_every=2, num_inference_steps=4,
+                          checkpoint_every=2),
+    )
+    ds = StableNeRFDataset("nerf", shape=32, encoded_shape=16,
+                           root=synthetic_nerf_root)
+    mesh = make_mesh(8)
+    workdir = str(tmp_path / "work_dp")
+    params, grid_state, history = train(cfg, ds, workdir=workdir, epochs=2,
+                                        mesh=mesh, log_fn=lambda *a: None)
+
+    assert len(history) == 2
+    for rec in history:
+        assert np.isfinite(rec["train_loss"])
+        assert np.isfinite(rec["val_loss"])
+
+    # every param leaf is fully replicated and identical on all 8 devices
+    import jax.numpy as jnp  # noqa: F401
+
+    leaves = [l for l in jax.tree.leaves(params) if hasattr(l, "sharding")]
+    assert leaves, "params lost their device placement"
+    checked = 0
+    for leaf in leaves[:20]:
+        shards = leaf.addressable_shards
+        if len(shards) <= 1:
+            continue
+        ref = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            np.testing.assert_array_equal(np.asarray(s.data), ref)
+        checked += 1
+    assert checked > 0, "no leaf was actually replicated over >1 device"

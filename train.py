@@ -130,7 +130,7 @@ def main(argv=None):
     from stable_nerf_tpu.training.loop import train
 
     train(cfg, dataset, workdir=workdir, seed=args.seed,
-          pretrained_sd=pretrained)
+          pretrained_sd=pretrained, data_parallel=args.data_parallel)
 
 
 def run_inference(cfg, dataset, workdir):
