@@ -277,22 +277,54 @@ def unet_params_from_state_dict(
 # ---------------------------------------------------------------------------
 
 def load_sdxl(checkpoint_dir: str, *, with_ip: bool = True,
+              with_text_encoders: bool = True,
               unet_cfg: UNetConfig = UNetConfig(),
-              vae_cfg: VAEConfig = VAEConfig()) -> Dict:
-    """Load VAE + U-Net params from an SDXL checkpoint directory laid out
-    like the HF hub repo (vae/…, unet/… with safetensors or bin files)."""
+              vae_cfg: VAEConfig = VAEConfig(),
+              text_cfg_1=None, text_cfg_2=None) -> Dict:
+    """Load VAE + U-Net (+ both CLIP text towers) from an SDXL checkpoint
+    directory laid out like the HF hub repo (vae/…, unet/…, text_encoder/…,
+    text_encoder_2/… with safetensors or bin files).
 
-    def find_weights(sub):
+    The text towers (reference stable_diffusion/network.py:25-30) exist only
+    to cache the empty-prompt conditioning at init (network.py:114-168);
+    the training loop pops them from this dict, runs
+    ``clip_text.make_empty_prompt_conditioning``, and discards them so they
+    never enter the jitted train step.  Missing text_encoder dirs degrade
+    gracefully (returned dict simply lacks those keys)."""
+
+    def find_weights(sub, names):
         d = os.path.join(checkpoint_dir, sub)
-        for name in ("diffusion_pytorch_model.safetensors",
-                     "diffusion_pytorch_model.bin"):
+        for name in names:
             p = os.path.join(d, name)
             if os.path.exists(p):
                 return load_state_dict(p)
-        raise FileNotFoundError(f"no weights found under {d}")
+        return None
 
-    return {
-        "vae": vae_params_from_state_dict(find_weights("vae"), vae_cfg),
-        "unet": unet_params_from_state_dict(find_weights("unet"), unet_cfg,
+    diffusion_names = ("diffusion_pytorch_model.safetensors",
+                       "diffusion_pytorch_model.bin")
+    text_names = ("model.safetensors", "pytorch_model.bin")
+
+    vae_sd = find_weights("vae", diffusion_names)
+    unet_sd = find_weights("unet", diffusion_names)
+    if vae_sd is None or unet_sd is None:
+        raise FileNotFoundError(
+            f"no vae/unet weights found under {checkpoint_dir}")
+    out = {
+        "vae": vae_params_from_state_dict(vae_sd, vae_cfg),
+        "unet": unet_params_from_state_dict(unet_sd, unet_cfg,
                                             with_ip=with_ip),
     }
+    if with_text_encoders:
+        from .clip_text import (
+            clip_l_config, open_clip_bigg_config, params_from_hf_state_dict,
+        )
+
+        te1 = find_weights("text_encoder", text_names)
+        te2 = find_weights("text_encoder_2", text_names)
+        if te1 is not None:
+            out["text_encoder"] = params_from_hf_state_dict(
+                te1, text_cfg_1 or clip_l_config())
+        if te2 is not None:
+            out["text_encoder_2"] = params_from_hf_state_dict(
+                te2, text_cfg_2 or open_clip_bigg_config())
+    return out

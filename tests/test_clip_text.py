@@ -141,3 +141,98 @@ class TestFullPromptAPI:
         assert pooled.shape == (1, 96)
         np.testing.assert_allclose(
             np.asarray(tids), [[1024., 1024., 0., 0., 1024., 1024.]])
+
+
+class TestEmptyPromptPipelineTorchParity:
+    """The full init_empty_prompts pipeline vs the torch reference path
+    (reference stable_diffusion/network.py:114-168 → utils/sd_utils.py):
+    converted random torch weights → make_empty_prompt_conditioning must be
+    bit-close to the torch dual-encoder computation and non-zero."""
+
+    def test_empty_prompt_conditioning_matches_torch(self):
+        # vocab must contain the real bos/eos ids so "" tokenizes normally
+        cfg1 = small_cfg(vocab_size=49408)
+        cfg2 = small_cfg(vocab_size=49408, hidden_size=96, num_heads=6,
+                         hidden_act="gelu", projection_dim=96, pad_token_id=0)
+        m1 = hf_model(cfg1, seed=0)
+        m2 = hf_model(cfg2, with_projection=True, seed=1)
+        p1 = params_from_hf_state_dict(m1.state_dict(), cfg1)
+        p2 = params_from_hf_state_dict(m2.state_dict(), cfg2)
+
+        from stable_nerf_tpu.models.diffusion.clip_text import (
+            make_empty_prompt_conditioning,
+        )
+
+        prompt_embeds, pooled, time_ids = make_empty_prompt_conditioning(
+            p1, p2, cfg1, cfg2)
+
+        ids1 = np.asarray(empty_prompt_ids(cfg1)).astype(np.int64)
+        ids2 = np.asarray(empty_prompt_ids(cfg2)).astype(np.int64)
+        with torch.no_grad():
+            out1 = m1(torch.tensor(ids1), output_hidden_states=True)
+            out2 = m2(torch.tensor(ids2), output_hidden_states=True)
+        expect_embeds = np.concatenate(
+            [out1.hidden_states[-2].numpy(), out2.hidden_states[-2].numpy()],
+            axis=-1)
+        expect_pooled = out2.text_embeds.numpy()
+
+        np.testing.assert_allclose(np.asarray(prompt_embeds), expect_embeds,
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(pooled), expect_pooled,
+                                   atol=2e-5)
+        assert float(np.abs(expect_pooled).max()) > 0  # non-zero conditioning
+        np.testing.assert_allclose(
+            np.asarray(time_ids), [[1024., 1024., 0., 0., 1024., 1024.]])
+
+    def test_load_sdxl_text_towers(self, tmp_path):
+        """load_sdxl picks up text_encoder/ and text_encoder_2/ dirs and the
+        converted towers drive make_empty_prompt_conditioning (the loop's
+        pretrained-init path)."""
+        import jax
+        from stable_nerf_tpu.models.diffusion.weights import load_sdxl
+        from tests.test_weights import (
+            TINY_VAE, _vae_state_dict, unet_state_dict_from_params,
+        )
+        from stable_nerf_tpu.models.diffusion.unet import (
+            tiny_unet_config, unet_init,
+        )
+
+        rng = np.random.default_rng(0)
+        cfg1 = small_cfg(vocab_size=49408)
+        cfg2 = small_cfg(vocab_size=49408, hidden_size=96, num_heads=6,
+                         hidden_act="gelu", projection_dim=96, pad_token_id=0)
+        m1 = hf_model(cfg1, seed=0)
+        m2 = hf_model(cfg2, with_projection=True, seed=1)
+
+        root = tmp_path / "sdxl"
+        for sub in ("vae", "unet", "text_encoder", "text_encoder_2"):
+            (root / sub).mkdir(parents=True)
+        def as_torch(sd):
+            return {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}
+
+        torch.save(as_torch(_vae_state_dict(rng)), root / "vae" /
+                   "diffusion_pytorch_model.bin")
+        unet_sd = unet_state_dict_from_params(
+            unet_init(jax.random.PRNGKey(0), tiny_unet_config(),
+                      with_ip=False))
+        torch.save(as_torch(unet_sd), root / "unet" /
+                   "diffusion_pytorch_model.bin")
+        torch.save(m1.state_dict(), root / "text_encoder" /
+                   "pytorch_model.bin")
+        torch.save(m2.state_dict(), root / "text_encoder_2" /
+                   "pytorch_model.bin")
+
+        loaded = load_sdxl(str(root), unet_cfg=tiny_unet_config(),
+                           vae_cfg=TINY_VAE, text_cfg_1=cfg1,
+                           text_cfg_2=cfg2)
+        assert set(loaded) == {"vae", "unet", "text_encoder",
+                               "text_encoder_2"}
+
+        from stable_nerf_tpu.models.diffusion.clip_text import (
+            make_empty_prompt_conditioning,
+        )
+
+        _, pooled, _ = make_empty_prompt_conditioning(
+            loaded["text_encoder"], loaded["text_encoder_2"], cfg1, cfg2)
+        assert pooled.shape == (1, 96)
+        assert float(np.abs(np.asarray(pooled)).max()) > 0

@@ -97,13 +97,9 @@ def test_vae_conversion_structure_and_forward(rng):
     assert mean.shape == (1, 4, 16, 16)
 
 
-def test_unet_conversion_tiny(rng):
-    cfg = tiny_unet_config()
-    import jax
-    ref = unet_init(jax.random.PRNGKey(0), cfg, with_ip=True)
-
-    # flatten our init into a diffusers-style dict via the known mapping,
-    # then convert back and demand an identical tree
+def unet_state_dict_from_params(ref):
+    """Flatten a unet param tree into a diffusers-style state dict via the
+    known mapping (shared by the conversion and load_sdxl tests)."""
     sd = {}
 
     def put_lin(name, p):
@@ -171,7 +167,14 @@ def test_unet_conversion_tiny(rng):
             put_conv(f"up_blocks.{i}.upsamplers.0.conv", block["upsample"])
     put_norm("conv_norm_out", ref["conv_norm_out"])
     put_conv("conv_out", ref["conv_out"])
+    return sd
 
+
+def test_unet_conversion_tiny(rng):
+    cfg = tiny_unet_config()
+    import jax
+    ref = unet_init(jax.random.PRNGKey(0), cfg, with_ip=True)
+    sd = unet_state_dict_from_params(ref)
     params = unet_params_from_state_dict(sd, cfg, with_ip=True)
     for (pa, a), (pb, b) in zip(jax.tree.leaves_with_path(params),
                                 jax.tree.leaves_with_path(ref)):
