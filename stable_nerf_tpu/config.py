@@ -202,8 +202,12 @@ class TrainConfig:
     sample_budget: Optional[int] = None
     # eval/inference budget — the reference evaluates all alive samples
     # (force_all_rays); a generous budget keeps that in practice while
-    # skipping unoccupied lattice slots
+    # skipping unoccupied lattice slots.  When None, the eval budget is
+    # sample_budget_eval_per_ray × n_rays (64/ray ≈ 4× the occupied-sample
+    # average of a trained scene — measured safe; set per_ray=0 for the
+    # dense [N, 512] lattice eval)
     sample_budget_eval: Optional[int] = None
+    sample_budget_eval_per_ray: int = 64
 
 
 @dataclass(frozen=True)

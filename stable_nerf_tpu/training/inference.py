@@ -23,7 +23,7 @@ from ..models.diffusion.scheduler import DDIMScheduler
 from ..models.diffusion.sd_network import decode_latents, encode_images, sd_forward
 from ..models.nerf.renderer import render
 from ..utils.losses import l2_loss, psnr, ssim
-from .joint import JointConfig
+from .joint import JointConfig, eval_sample_budget
 
 
 def make_inference_step(
@@ -58,7 +58,8 @@ def make_inference_step(
             batch["target_rays_o"], batch["target_rays_d"], cfg.nerf,
             bg_color=cfg.train.bg_color, max_steps=cfg.train.max_steps_eval,
             compute_dtype=compute_dtype,
-            sample_budget=cfg.train.sample_budget_eval,
+            sample_budget=eval_sample_budget(
+                B * enc * enc, cfg.train),
         )
         # NOT ×2−1 (reference train.py:371 quirk)
         pred_target_lt = out["image"].reshape(B, enc, enc, C).transpose(0, 3, 1, 2)

@@ -53,6 +53,18 @@ class JointConfig:
         return self.sd.sd.latent_size
 
 
+def eval_sample_budget(n_rays: int, cfg: TrainConfig) -> Optional[int]:
+    """Static eval-render sample budget: explicit override, else 64/ray
+    (the measured-safe default replacing the reference's alive-ray loop
+    economics, renderer.py:119-167); None → dense lattice eval."""
+    if cfg.sample_budget_eval is not None:
+        return cfg.sample_budget_eval
+    if cfg.sample_budget_eval_per_ray <= 0:
+        return None
+    return min(n_rays * cfg.sample_budget_eval_per_ray,
+               n_rays * cfg.max_steps_eval)
+
+
 def joint_trainable_mask(params: Dict) -> Dict:
     """Mask over {'sd': …, 'nerf': …}: the reference's optimizer set
     (train.py:179-182) = sd ip-head + whole NeRF."""
@@ -99,6 +111,9 @@ def forward_iteration(
     # 3. NeRF render, target and reference batched (train.py:61-66)
     rays_o = jnp.concatenate([batch["target_rays_o"], batch["reference_rays_o"]], 0)
     rays_d = jnp.concatenate([batch["target_rays_d"], batch["reference_rays_d"]], 0)
+    if not train and sample_budget is None:
+        sample_budget = eval_sample_budget(
+            rays_o.shape[0] * rays_o.shape[1], cfg.train)
     out = render(
         params["nerf"], grid_state, rays_o, rays_d, cfg.nerf,
         bg_color=cfg.train.bg_color,
