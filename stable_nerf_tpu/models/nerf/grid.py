@@ -164,12 +164,21 @@ def update_extra_state(
         for cas in range(C):
             k_rand, k_occ, k_noise = keys[cas]
             rand_idx = jax.random.randint(k_rand, (N,), 0, H3)
-            # uniform-with-replacement over occupied cells via categorical
+            # uniform-with-replacement over occupied cells via inverse-CDF
+            # (cumsum + searchsorted).  NOT jax.random.categorical: with
+            # shape (N,) over [H³] logits it materializes an N×H³ gumbel
+            # intermediate (~10¹² elements at 128³) — measured 27 s/refresh
+            # vs <0.1 s for this formulation.
             occ_mask = state.density_grid[cas] > 0
-            logits = jnp.where(occ_mask, 0.0, -jnp.inf)
-            any_occ = jnp.any(occ_mask)
-            safe_logits = jnp.where(any_occ, logits, jnp.zeros_like(logits))
-            occ_idx = jax.random.categorical(k_occ, safe_logits, shape=(N,))
+            cnt = jnp.cumsum(occ_mask.astype(jnp.int32))
+            total = cnt[-1]
+            u = jax.random.uniform(k_occ, (N,))
+            r = jnp.floor(u * total).astype(jnp.int32)   # uniform [0, total)
+            occ_idx = jnp.searchsorted(cnt, r, side="right").astype(jnp.int32)
+            occ_idx = jnp.minimum(occ_idx, H3 - 1)
+            # no occupied cells yet → fall back to uniform over all cells
+            occ_idx = jnp.where(total > 0, occ_idx,
+                                jax.random.randint(k_occ, (N,), 0, H3))
             idx = jnp.concatenate([rand_idx, occ_idx])
             sig = sweep_cascade(cas, idx, k_noise)
             tmp = tmp.at[cas, idx].set(sig)
