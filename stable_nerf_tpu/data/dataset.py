@@ -160,6 +160,17 @@ def iterate(
     idx = np.array(indices)
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
+    if drop_last and 0 < len(idx) < batch_size:
+        # A split smaller than the batch would otherwise yield ZERO batches
+        # (easy to hit with the reference's tiny percent_objects datasets).
+        # Pad by repeating indices so the caller still sees one full batch.
+        import warnings
+
+        warnings.warn(
+            f"split has {len(idx)} samples < batch_size={batch_size}; "
+            f"padding by repetition to one full batch", stacklevel=2,
+        )
+        idx = np.resize(idx, batch_size)
     end = len(idx) - (len(idx) % batch_size) if drop_last else len(idx)
     for s in range(0, end, batch_size):
         chunk = idx[s:s + batch_size]

@@ -86,9 +86,18 @@ def get_rays(
             error_map = jnp.asarray(error_map, jnp.float32)
             kc, kx, ky = jax.random.split(key, 3)
             logits = jnp.log(jnp.maximum(error_map, 1e-12))
-            inds_coarse = jax.vmap(
-                lambda k, lg: jax.random.categorical(k, lg, shape=(N,))
-            )(jax.random.split(kc, B), logits)
+
+            # weighted sampling WITHOUT replacement (the reference's
+            # torch.multinomial(..., replacement=False),
+            # graphics_utils.py:61) via the Gumbel-top-k trick — exact,
+            # jit-friendly, no sequential rejection loop.
+            def _sample_wor(k, lg):
+                g = jax.random.gumbel(k, lg.shape)
+                return jax.lax.top_k(lg + g, N)[1]
+
+            inds_coarse = jax.vmap(_sample_wor)(
+                jax.random.split(kc, B), logits
+            )
             ix, iy = inds_coarse // 128, inds_coarse % 128
             sx, sy = H / 128.0, W / 128.0
             ix = jnp.clip(
