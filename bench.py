@@ -44,7 +44,7 @@ def best_of_blocks(fn, out_ready, n_blocks=3, n_iters=10):
     return best
 
 
-def bench_nerf_render():
+def bench_nerf_render(stochastic: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +56,7 @@ def bench_nerf_render():
     )
 
     key = jax.random.PRNGKey(0)
-    cfg = NeRFConfig(channel_dim=4)
+    cfg = NeRFConfig(channel_dim=4, hash_stochastic=stochastic)
     params = nerf_init(key, cfg)
     state = grid_init(cfg)
     poses = rand_poses(key, 2, radius=2.0)
@@ -244,6 +244,13 @@ def main():
 
     extras = {}
     if os.environ.get("BENCH_NERF_ONLY") != "1":
+        try:
+            log("bench: NeRF train render (stochastic fast mode)…")
+            fast_rps, _ = bench_nerf_render(stochastic=True)
+            extras["nerf_train_rays_per_sec_stochastic"] = round(fast_rps, 1)
+            log(f"  {fast_rps:.0f} rays/s")
+        except Exception as e:
+            log(f"  stochastic bench failed: {e}")
         try:
             log("bench: SDXL U-Net denoise…")
             sps, ms, mfu = bench_sd_denoise()

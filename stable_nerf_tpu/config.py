@@ -95,6 +95,10 @@ class NeRFConfig:
     # kernel on TPU (ops/pallas/scatter.py); identical numerics to XLA
     # scatter-add up to f32 summation order, ~8x faster
     hash_custom_bwd: bool = True
+    # opt-in training fast mode: sample ONE hash-grid corner per level
+    # (∝ trilinear weight, unbiased) instead of 8-corner interpolation —
+    # 8× fewer table gathers/scatters.  Eval renders stay exact.
+    hash_stochastic: bool = False
     encoding_sigma: HashGridConfig = field(default_factory=HashGridConfig)
     network_sigma: MLPConfig = field(default_factory=lambda: MLPConfig(n_hidden_layers=3))
     encoding_dir: SHConfig = field(default_factory=SHConfig)

@@ -81,17 +81,20 @@ def nerf_init(key, cfg: NeRFConfig) -> NeRFParams:
 
 
 def nerf_density(params: NeRFParams, x, cfg: NeRFConfig,
-                 compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+                 compute_dtype=jnp.float32,
+                 stochastic: bool = False) -> Dict[str, jnp.ndarray]:
     """Density-only query (reference nerf/network.py:63-76).
 
     Args:
       x: [..., 3] positions in [-bound, bound].
+      stochastic: one-corner hash sampling (training fast mode).
 
     Returns: {'sigma': [...] f32, 'geo_feat': [..., geo_feat_dim]}.
     """
     xn = (x + cfg.bound) / (2 * cfg.bound)
     h = hash_grid_encode(params.hash, xn, cfg.encoding_sigma,
-                         custom_bwd=cfg.hash_custom_bwd)
+                         custom_bwd=cfg.hash_custom_bwd,
+                         stochastic=stochastic)
     h = _mlp_apply(params.sigma_mlp, h, compute_dtype)
     sigma = jax.nn.relu(h[..., 0]).astype(jnp.float32)
     return {"sigma": sigma, "geo_feat": h[..., 1:]}
@@ -111,15 +114,17 @@ def nerf_color(params: NeRFParams, d, geo_feat, cfg: NeRFConfig,
 
 
 def nerf_apply(params: NeRFParams, x, d, cfg: NeRFConfig,
-               compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               compute_dtype=jnp.float32,
+               stochastic: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full forward (reference nerf/network.py:39-61).
 
     Args:
       x: [..., 3] positions in [-bound, bound].
       d: [..., 3] unit directions in [-1, 1].
+      stochastic: one-corner hash sampling (training fast mode).
 
     Returns: (sigma [...] f32, color [..., channel_dim] f32).
     """
-    dens = nerf_density(params, x, cfg, compute_dtype)
+    dens = nerf_density(params, x, cfg, compute_dtype, stochastic=stochastic)
     color = nerf_color(params, d, dens["geo_feat"], cfg, compute_dtype)
     return dens["sigma"], color

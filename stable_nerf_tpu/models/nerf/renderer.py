@@ -32,18 +32,21 @@ from .grid import OccupancyGridState
 from .network import NeRFParams, nerf_apply
 
 
-def _eval_samples(params, pos, dirs, cfg, compute_dtype, eval_chunk):
+def _eval_samples(params, pos, dirs, cfg, compute_dtype, eval_chunk,
+                  stochastic=False):
     """NeRF-evaluate flat [M, 3] samples, chunked to bound HBM peaks."""
     M = pos.shape[0]
     if M > eval_chunk and M % eval_chunk == 0:
         n_chunks = M // eval_chunk
         sig, rgb = jax.lax.map(
-            lambda xd: nerf_apply(params, xd[0], xd[1], cfg, compute_dtype),
+            lambda xd: nerf_apply(params, xd[0], xd[1], cfg, compute_dtype,
+                                  stochastic=stochastic),
             (pos.reshape(n_chunks, eval_chunk, 3),
              dirs.reshape(n_chunks, eval_chunk, 3)),
         )
         return sig.reshape(M), rgb.reshape(M, cfg.channel_dim)
-    return nerf_apply(params, pos, dirs, cfg, compute_dtype)
+    return nerf_apply(params, pos, dirs, cfg, compute_dtype,
+                      stochastic=stochastic)
 
 
 def render(
@@ -81,6 +84,10 @@ def render(
 
     Returns: {'image': [..., C], 'depth': [...], 'weights_sum': [...]}.
     """
+    # one-corner hash sampling only while training (perturb jitters x each
+    # step, refreshing the stateless draw); eval stays exact trilinear
+    stochastic = cfg.hash_stochastic and perturb_key is not None
+
     prefix = rays_o.shape[:-1]
     o = rays_o.reshape(-1, 3).astype(jnp.float32)
     d = rays_d.reshape(-1, 3).astype(jnp.float32)
@@ -114,14 +121,14 @@ def render(
         pos_c = gather_compact(plan, pos)
         dirs_c = gather_compact(plan, dirs)
         sig_c, rgb_c = _eval_samples(params, pos_c, dirs_c, cfg,
-                                     compute_dtype, eval_chunk)
+                                     compute_dtype, eval_chunk, stochastic)
         sigmas = scatter_back(plan, sig_c, M).reshape(N, K)
         rgbs = scatter_back(plan, rgb_c, M).reshape(N, K, cfg.channel_dim)
         valid = plan.new_valid
     else:
         sig_f, rgb_f = _eval_samples(
             params, pos.reshape(M, 3), dirs.reshape(M, 3), cfg,
-            compute_dtype, eval_chunk,
+            compute_dtype, eval_chunk, stochastic,
         )
         sigmas = sig_f.reshape(N, K)
         rgbs = rgb_f.reshape(N, K, cfg.channel_dim)

@@ -58,27 +58,24 @@ def hash_grid_init(key, cfg: HashGridConfig, dtype=jnp.float32) -> HashGridParam
     return HashGridParams(table=table)
 
 
-def _hash_grid_indices_weights(x, cfg: HashGridConfig):
-    """[M, 3] in [0,1] → (flat_idx [M, L, 8] int32, cw [M, L, 8, 1] f32)."""
-    M = x.shape[0]
-    scales, resolutions, dense = _level_geometry(cfg)
-    T = cfg.table_size
-    L = cfg.n_levels
-
+def _cell_coords(x, cfg: HashGridConfig):
+    """[M, 3] in [0,1] → (p0 [M, L, 3] int32, w [M, L, 3] f32 fractions)."""
+    scales, _, _ = _level_geometry(cfg)
     # per-level continuous grid coords: pos = x*scale + 0.5 (tcnn pos_fract)
     scale_arr = jnp.asarray(scales, jnp.float32)                   # [L]
     pos = x[:, None, :] * scale_arr[None, :, None] + 0.5           # [M, L, 3]
     p0 = jnp.floor(pos)
     w = pos - p0                                                   # [M, L, 3]
-    p0 = p0.astype(jnp.int32)
+    return p0.astype(jnp.int32), w
 
-    # 8 corner offsets
-    corners = jnp.asarray(
-        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.int32
-    )                                                              # [8, 3]
-    cpos = p0[:, :, None, :] + corners[None, None, :, :]           # [M, L, 8, 3]
 
-    # per-level index: dense strides if the level fits, else spatial hash
+def _flat_index(cpos, cfg: HashGridConfig):
+    """Corner coords [M, L, C, 3] → flat table indices [M, L, C] int32.
+
+    Per-level dense strides if the level fits the table, else the tcnn
+    spatial hash; +level·T offset into the concatenated table."""
+    _, resolutions, dense = _level_geometry(cfg)
+    T, L = cfg.table_size, cfg.n_levels
     res_arr = jnp.asarray(resolutions, jnp.int32)                  # [L]
     dense_arr = jnp.asarray(dense)                                 # [L] bool
     cx, cy, cz = cpos[..., 0], cpos[..., 1], cpos[..., 2]
@@ -91,7 +88,19 @@ def _hash_grid_indices_weights(x, cfg: HashGridConfig):
     )
     idx = jnp.where(dense_arr[None, :, None], dense_idx, hashed) % jnp.uint32(T)
     level_off = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[None, :, None]
-    flat_idx = (idx + level_off).astype(jnp.int32)                 # [M, L, 8]
+    return (idx + level_off).astype(jnp.int32)                     # [M, L, C]
+
+
+def _hash_grid_indices_weights(x, cfg: HashGridConfig):
+    """[M, 3] in [0,1] → (flat_idx [M, L, 8] int32, cw [M, L, 8, 1] f32)."""
+    p0, w = _cell_coords(x, cfg)
+
+    # 8 corner offsets
+    corners = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.int32
+    )                                                              # [8, 3]
+    cpos = p0[:, :, None, :] + corners[None, None, :, :]           # [M, L, 8, 3]
+    flat_idx = _flat_index(cpos, cfg)                              # [M, L, 8]
 
     # trilinear weights in the same corner order
     wx, wy, wz = w[..., 0:1], w[..., 1:2], w[..., 2:3]             # [M, L, 1]
@@ -111,39 +120,91 @@ def _hash_grid_indices_weights(x, cfg: HashGridConfig):
     return flat_idx, cw
 
 
+def _stateless_uniform3(x, L: int):
+    """Position-seeded uniforms: [M, 3] f32 → [M, L, 3] in [0, 1).
+
+    murmur-style bit mixing of the position's float bits, decorrelated
+    per level and per axis.  Stateless so the stochastic-corner encode
+    stays a pure function of x (training jitters x every step via the
+    per-ray perturb, which refreshes the draw)."""
+    bx = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    h = (bx[:, 0] * jnp.uint32(_PRIMES[0])
+         ^ bx[:, 1] * jnp.uint32(_PRIMES[1])
+         ^ bx[:, 2] * jnp.uint32(_PRIMES[2]))                      # [M]
+    lvl = jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+    hh = h[:, None] ^ lvl[None]                                    # [M, L]
+
+    def mix(v, c):
+        v = (v ^ (v >> 16)) * jnp.uint32(c)
+        v = (v ^ (v >> 13)) * jnp.uint32(0x5BD1E995)
+        return v ^ (v >> 16)
+
+    u = jnp.stack(
+        [mix(hh, c) for c in (0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F)], axis=-1
+    )                                                              # [M, L, 3]
+    return (u >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _hash_grid_indices_stochastic(x, cfg: HashGridConfig):
+    """One corner per (sample, level), drawn ∝ its trilinear weight.
+
+    Because trilinear weights factorize per axis, sampling each axis bit
+    independently (P[bit=1] = frac) draws corner c with probability
+    exactly w_c, so table[c] is an unbiased one-point estimator of the
+    trilinear interpolation (and its table gradient of the dense
+    gradient).  8× fewer gathers/scatter-updates than the exact path —
+    the opt-in TPU fast mode for training (NeRFConfig.hash_stochastic).
+
+    Returns (flat_idx [M, L, 1] int32, cw [M, L, 1, 1] f32 ones).
+    """
+    p0, w = _cell_coords(x, cfg)
+    u = _stateless_uniform3(x, cfg.n_levels)                       # [M, L, 3]
+    bits = (u < w).astype(jnp.int32)                               # [M, L, 3]
+    cpos = (p0 + bits)[:, :, None, :]                              # [M, L, 1, 3]
+    flat_idx = _flat_index(cpos, cfg)                              # [M, L, 1]
+    cw = jnp.ones((*flat_idx.shape, 1), jnp.float32)
+    return flat_idx, cw
+
+
 def _hash_encode_from_table(table, flat_idx, cw, cfg: HashGridConfig):
-    M, L = flat_idx.shape[:2]
+    M, L, C = flat_idx.shape
     feats = table[flat_idx.reshape(-1)]
-    feats = feats.reshape(M, L, 8, cfg.n_features_per_level)
+    feats = feats.reshape(M, L, C, cfg.n_features_per_level)
     return jnp.sum(feats * cw, axis=2).reshape(M, L * cfg.n_features_per_level)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _hash_encode_custom(table, x, cfg: HashGridConfig):
-    flat_idx, cw = _hash_grid_indices_weights(x, cfg)
+def _indices_weights(x, cfg: HashGridConfig, stochastic: bool):
+    if stochastic:
+        return _hash_grid_indices_stochastic(x, cfg)
+    return _hash_grid_indices_weights(x, cfg)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _hash_encode_custom(table, x, cfg: HashGridConfig, stochastic: bool):
+    flat_idx, cw = _indices_weights(x, cfg, stochastic)
     return _hash_encode_from_table(table, flat_idx, cw, cfg)
 
 
-def _hash_encode_fwd(table, x, cfg):
-    flat_idx, cw = _hash_grid_indices_weights(x, cfg)
+def _hash_encode_fwd(table, x, cfg, stochastic):
+    flat_idx, cw = _indices_weights(x, cfg, stochastic)
     return _hash_encode_from_table(table, flat_idx, cw, cfg), (x,)
 
 
-def _hash_encode_bwd(cfg, res, g):
+def _hash_encode_bwd(cfg, stochastic, res, g):
     """Table gradient via the Pallas sorted-block scatter
     (ops/pallas/scatter.py) — ~20× cheaper on TPU than XLA's scatter-add.
     Positions get zero gradient (they come from ray data; the reference
     never propagates into them either)."""
-    from .pallas.scatter import hash_scatter_add
+    from .pallas.scatter import hash_scatter_add_per_level
 
     (x,) = res
-    flat_idx, cw = _hash_grid_indices_weights(x, cfg)
-    M, L = flat_idx.shape[:2]
+    flat_idx, cw = _indices_weights(x, cfg, stochastic)
+    M, L, C = flat_idx.shape
     F = cfg.n_features_per_level
     g = g.reshape(M, L, 1, F)
-    upd = (cw * g).reshape(M * L * 8, F)                  # [M·L·8, F]
-    table_grad = hash_scatter_add(
-        flat_idx.reshape(-1), upd, cfg.n_levels * cfg.table_size
+    upd = cw * g                                          # [M, L, C, F]
+    table_grad = hash_scatter_add_per_level(
+        flat_idx, upd, cfg.n_levels, cfg.table_size
     )
     return table_grad, jnp.zeros_like(x)
 
@@ -152,7 +213,7 @@ _hash_encode_custom.defvjp(_hash_encode_fwd, _hash_encode_bwd)
 
 
 def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig,
-                     custom_bwd: bool = False):
+                     custom_bwd: bool = False, stochastic: bool = False):
     """Encode positions.
 
     Args:
@@ -163,6 +224,9 @@ def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig,
         scatter kernel (TPU) instead of XLA scatter-add; identical numerics
         up to f32 summation order.  Note: positions receive zero gradient
         on this path.
+      stochastic: one-corner-per-level unbiased sampling instead of the
+        8-corner trilinear interpolation — 8× fewer table accesses
+        (training fast mode; see _hash_grid_indices_stochastic).
 
     Returns: [..., n_levels * n_features] features.
     """
@@ -170,9 +234,9 @@ def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig,
     xf = x.reshape(-1, 3).astype(jnp.float32)                      # [M, 3]
     out_dim = cfg.n_levels * cfg.n_features_per_level
     if custom_bwd:
-        out = _hash_encode_custom(params.table, xf, cfg)
+        out = _hash_encode_custom(params.table, xf, cfg, stochastic)
     else:
-        flat_idx, cw = _hash_grid_indices_weights(xf, cfg)
+        flat_idx, cw = _indices_weights(xf, cfg, stochastic)
         out = _hash_encode_from_table(params.table, flat_idx, cw, cfg)
     return out.reshape(*batch_shape, out_dim)
 

@@ -173,14 +173,16 @@ def hash_scatter_add(idx, upd, table_size: int, *, use_pallas: Optional[bool] = 
     """Unsorted scatter-add: grad_table = zeros.at[idx].add(upd).
 
     On TPU, sorts (multi-operand lax.sort keeps the payload attached) and
-    runs the Pallas sorted-block kernel; elsewhere (or when use_pallas is
-    False) uses the jnp scatter — identical numerics up to f32 summation
-    order.
+    runs a Pallas sorted-block kernel — the radix-decomposed v2
+    (ops/pallas/scatter_v2.py, ~3× cheaper kernel) when the table size
+    allows its 4096-entry blocks, else the flat-one-hot v1.  Elsewhere
+    (or when use_pallas is False) uses the jnp scatter — identical
+    numerics up to f32 summation order.
     """
     idx = idx.astype(jnp.int32)
     upd = upd.astype(jnp.float32)
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        use_pallas = _on_tpu() and table_size % 1024 == 0
     if not use_pallas:
         F = upd.shape[-1]
         return jnp.zeros((table_size, F), jnp.float32).at[idx].add(
@@ -190,4 +192,41 @@ def hash_scatter_add(idx, upd, table_size: int, *, use_pallas: Optional[bool] = 
     sorted_ops = jax.lax.sort(operands, num_keys=1)
     sidx = sorted_ops[0]
     supd = jnp.stack(sorted_ops[1:], axis=-1)
+    return _sorted_scatter(sidx, supd, table_size)
+
+
+def _sorted_scatter(sidx, supd, table_size: int):
+    if table_size % 4096 == 0:
+        from .scatter_v2 import sorted_block_scatter_add_v2
+
+        return sorted_block_scatter_add_v2(sidx, supd, table_size)
     return sorted_block_scatter_add(sidx, supd, table_size)
+
+
+def hash_scatter_add_per_level(idx, upd, n_levels: int, table_size: int, *,
+                               use_pallas: Optional[bool] = None):
+    """Scatter-add for per-level-structured updates: idx [M, L, C] into a
+    [L·T, F] table where idx[:, l, :] ∈ [l·T, (l+1)·T).
+
+    Exploits the level structure to replace one flat 33.6M-key sort with a
+    batched sort of L independent rows (measured ~15% cheaper on v5e —
+    scripts/bench_scatter_variants.py): each row is already confined to
+    its level's index range, so the per-row sorted outputs concatenate
+    into a globally sorted array, feeding the same sorted-block kernel.
+    """
+    M, L, C = idx.shape
+    F = upd.shape[-1]
+    total = n_levels * table_size
+    if use_pallas is None:
+        use_pallas = _on_tpu() and total % 1024 == 0
+    if not use_pallas:
+        return jnp.zeros((total, F), jnp.float32).at[idx.reshape(-1)].add(
+            upd.reshape(-1, F), mode="drop"
+        )
+    idx_l = idx.astype(jnp.int32).transpose(1, 0, 2).reshape(L, M * C)
+    upd_l = upd.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(L, M * C, F)
+    operands = [idx_l] + [upd_l[..., f] for f in range(F)]
+    sorted_ops = jax.lax.sort(operands, num_keys=1, dimension=1)
+    sidx = sorted_ops[0].reshape(-1)
+    supd = jnp.stack(sorted_ops[1:], axis=-1).reshape(-1, F)
+    return _sorted_scatter(sidx, supd, total)

@@ -32,6 +32,31 @@ def test_fallback_drops_out_of_range(rng):
     assert float(jnp.sum(out)) == 4.0                # only 2 valid entries × 2
 
 
+def test_per_level_fallback_matches_flat(rng):
+    from stable_nerf_tpu.ops.pallas.scatter import hash_scatter_add_per_level
+
+    L, T, M, C, F = 4, 256, 500, 8, 2
+    # per-level structured indices: idx[:, l, :] ∈ [l·T, (l+1)·T)
+    local = rng.integers(0, T, (M, L, C)).astype(np.int32)
+    idx = jnp.asarray(local + np.arange(L)[None, :, None] * T)
+    upd = jnp.asarray(rng.normal(size=(M, L, C, F)).astype(np.float32))
+    out = hash_scatter_add_per_level(idx, upd, L, T, use_pallas=False)
+    ref = jnp.zeros((L * T, F)).at[idx.reshape(-1)].add(upd.reshape(-1, F))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_per_level_sorted_rows_concatenate_globally_sorted(rng):
+    """The invariant the TPU path relies on: sorting each level's row and
+    concatenating yields a globally sorted index array."""
+    L, T, M, C = 4, 256, 100, 8
+    local = rng.integers(0, T, (M, L, C)).astype(np.int32)
+    idx = local + np.arange(L)[None, :, None] * T
+    idx_l = idx.transpose(1, 0, 2).reshape(L, M * C)
+    out = np.sort(idx_l, axis=1).reshape(-1)
+    assert np.all(np.diff(out) >= 0)
+
+
 def test_custom_bwd_encode_matches_autodiff(key):
     cfg = HashGridConfig(n_levels=4, log2_hashmap_size=10, base_resolution=4)
     params = hash_grid_init(key, cfg)
