@@ -63,10 +63,16 @@ def blender_orbit_poses(n: int, radius: float = 4.0) -> np.ndarray:
 
 
 def trace(rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
-    """Exact nearest-hit Lambertian shading over SPHERES; black background
-    (the parity config trains with bg 0, reference test_nerf.py:165)."""
+    """Exact nearest-hit Lambertian shading over SPHERES on a WHITE
+    background.  tiny_nerf_data.npz (lego) — which this scene stands in
+    for — has a white background while the parity config renders with
+    bg_color 0 (reference test_nerf.py:165); that combination is what
+    makes the fit well-posed with the reference's ReLU density
+    (network.py:46): the dominant background signal *grows* density.  A
+    black background inverts the signal and collapses ReLU density to a
+    dead field (measured: loss freezes at mean(gt) within 10 steps)."""
     n = rays_o.shape[0]
-    color = np.zeros((n, 3), np.float32)
+    color = np.ones((n, 3), np.float32)
     best_t = np.full((n,), np.inf, np.float32)
     for center, radius, base in SPHERES:
         oc = rays_o - center
@@ -113,7 +119,7 @@ def main():
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     np.savez(args.out, images=images, poses=poses, focal=np.float32(138.0))
-    occ = float((images.sum(-1) > 0).mean())
+    occ = float((images.sum(-1) < 2.999).mean())
     print(f"wrote {args.out}: {args.n_views} views at {H}x{W}, "
           f"{occ:.1%} foreground coverage")
 

@@ -99,6 +99,14 @@ class NeRFConfig:
     # (∝ trilinear weight, unbiased) instead of 8-corner interpolation —
     # 8× fewer table gathers/scatters.  Eval renders stay exact.
     hash_stochastic: bool = False
+    # density activation: "relu" mirrors the reference's choice
+    # (nerf/network.py:46); "trunc_exp" is torch-ngp's original
+    # (nerf/activation.py:6-19, defined-but-unused in the reference) and
+    # the robust choice for fitting from scratch — ReLU density can die
+    # globally (h<0 at every sample ⇒ exactly-zero gradients ⇒ the next
+    # occupancy refresh clears the grid ⇒ training permanently dead;
+    # measured on the tiny-NeRF parity fit).
+    density_activation: str = "relu"
     encoding_sigma: HashGridConfig = field(default_factory=HashGridConfig)
     network_sigma: MLPConfig = field(default_factory=lambda: MLPConfig(n_hidden_layers=3))
     encoding_dir: SHConfig = field(default_factory=SHConfig)
@@ -202,8 +210,16 @@ class TrainConfig:
     log_every: int = 10
     mixed_precision: str = "bfloat16"
     # static NeRF sample budget per train step (None = dense lattice eval);
-    # the TPU analogue of the reference's mean_count compaction
+    # the TPU analogue of the reference's mean_count compaction.  A fixed
+    # budget that BINDS while occupancy is still dense truncates rays
+    # mid-flight (bg leaks through the cut) and collapses from-scratch
+    # training — see ops.compaction.suggest_sample_budget / ARCHITECTURE.md
     sample_budget: Optional[int] = None
+    # adaptive budget (the reference's adaptive mean_count pool,
+    # raymarching.py:198-203): re-bucket via suggest_sample_budget at each
+    # occupancy refresh — dense during the fog phase, pow2 buckets once
+    # the grid sparsifies.  Overrides sample_budget when True.
+    sample_budget_auto: bool = False
     # eval/inference budget — the reference evaluates all alive samples
     # (force_all_rays); a generous budget keeps that in practice while
     # skipping unoccupied lattice slots.  When None, the eval budget is

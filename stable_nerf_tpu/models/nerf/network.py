@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ...config import NeRFConfig
+from ...ops.activation import trunc_exp
 from ...ops.encoding import (
     HashGridParams,
     hash_grid_encode,
@@ -96,7 +97,11 @@ def nerf_density(params: NeRFParams, x, cfg: NeRFConfig,
                          custom_bwd=cfg.hash_custom_bwd,
                          stochastic=stochastic)
     h = _mlp_apply(params.sigma_mlp, h, compute_dtype)
-    sigma = jax.nn.relu(h[..., 0]).astype(jnp.float32)
+    h0 = h[..., 0].astype(jnp.float32)
+    if cfg.density_activation == "trunc_exp":
+        sigma = trunc_exp(h0)        # torch-ngp original; never dies
+    else:
+        sigma = jax.nn.relu(h0)      # reference nerf/network.py:46
     return {"sigma": sigma, "geo_feat": h[..., 1:]}
 
 

@@ -79,8 +79,15 @@ def render(
         index intermediates ([chunk, L, 8, 3]) so HBM peak stays flat
         regardless of ray count (lax.map serializes chunks).
       sample_budget: if set, NeRF-evaluate at most this many valid samples
-        (static compaction; over-budget samples dropped — the reference's
-        mean_count semantics).  None = dense evaluation of the full lattice.
+        (static compaction, step-major order; over-budget samples dropped —
+        the reference's mean_count semantics).  None = dense evaluation of
+        the full lattice.  TRAINING CAVEAT: a budget that binds while the
+        scene is still fog (dense occupancy) truncates rays mid-flight and
+        blends the background through the cut — a gradient regime the
+        reference never enters (its mean_count pool adapts UP in the fog
+        phase, raymarching.py:198-203) and one that measurably collapses
+        from-scratch fits.  Use a budget only once occupancy is sparse, or
+        make it ≥ the fog-phase valid count.
 
     Returns: {'image': [..., C], 'depth': [...], 'weights_sum': [...]}.
     """

