@@ -91,6 +91,49 @@ def bench_nerf_render(stochastic: bool = False):
     return n_rays / dt, dt
 
 
+def bench_nerf_eval():
+    """Eval-path render: one 64² latent image (4096 rays) at max_steps 512
+    with the production eval budget (64 samples/ray) — the workload the
+    reference serves with its alive-ray while-loop (renderer.py:119-167).
+    Returns ms/image."""
+    import jax
+    import jax.numpy as jnp
+
+    from stable_nerf_tpu.config import NeRFConfig
+    from stable_nerf_tpu.data.rays import get_rays, rand_poses
+    from stable_nerf_tpu.models.nerf import (
+        grid_init, mark_untrained_grid, nerf_density, nerf_init, render,
+        update_extra_state,
+    )
+
+    key = jax.random.PRNGKey(0)
+    cfg = NeRFConfig(channel_dim=4)
+    params = nerf_init(key, cfg)
+    state = grid_init(cfg)
+    poses = rand_poses(key, 1, radius=2.0)
+    rays = get_rays(poses, (138.0, 138.0, 32, 32), 64, 64)
+    state = jax.jit(
+        lambda s, p: mark_untrained_grid(s, p, (138.0, 138.0, 32, 32), cfg)
+    )(state, poses)
+    dens = lambda x: nerf_density(params, x, cfg)["sigma"]
+    state = jax.block_until_ready(
+        jax.jit(lambda s, k: update_extra_state(s, dens, k, cfg))(state, key)
+    )
+
+    budget = 64 * 4096      # TrainConfig.sample_budget_eval_per_ray default
+
+    @jax.jit
+    def eval_render(params, o, d):
+        return render(params, state, o, d, cfg, bg_color=1.0, max_steps=512,
+                      compute_dtype=jnp.bfloat16, sample_budget=budget)
+
+    o, d = rays["rays_o"], rays["rays_d"]
+    jax.block_until_ready(eval_render(params, o, d))         # compile
+    dt = best_of_blocks(lambda i: eval_render(params, o, d),
+                        jax.block_until_ready)
+    return dt * 1e3
+
+
 def bench_sd_denoise(n_steps: int = 10):
     """Full SDXL-base U-Net + IP-Adapter denoise, batch 2, 64² latents, bf16.
 
@@ -251,6 +294,13 @@ def main():
             log(f"  {fast_rps:.0f} rays/s")
         except Exception as e:
             log(f"  stochastic bench failed: {e}")
+        try:
+            log("bench: NeRF eval render…")
+            eval_ms = bench_nerf_eval()
+            extras["nerf_eval_ms_per_image"] = round(eval_ms, 2)
+            log(f"  {eval_ms:.1f} ms/image (4096 rays, 512 steps)")
+        except Exception as e:
+            log(f"  eval render bench failed: {e}")
         try:
             log("bench: SDXL U-Net denoise…")
             sps, ms, mfu = bench_sd_denoise()

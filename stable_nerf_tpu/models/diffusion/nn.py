@@ -63,10 +63,19 @@ def silu(x):
 
 def sdpa(q, k, v):
     """Scaled dot-product attention over [B, H, S, D] (torch SDPA semantics,
-    the reference's attention core — attention_processor.py:371-373)."""
+    the reference's attention core — attention_processor.py:371-373).
+
+    Logits always ACCUMULATE in float32 (softmax stability).  For bf16
+    inputs the QK^T operands stay bf16 — the information is already bf16,
+    and upcasting operands would route the matmul onto the ~8× slower
+    f32 MXU path; f32 inputs keep the exact f32 matmul (parity tests)."""
     scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
-                        k.astype(jnp.float32))
+    if q.dtype == jnp.bfloat16:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", (q * scale).astype(q.dtype),
+                            k, preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+                            k.astype(jnp.float32))
     attn = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
 
