@@ -167,10 +167,30 @@ def _hash_grid_indices_stochastic(x, cfg: HashGridConfig):
 
 
 def _hash_encode_from_table(table, flat_idx, cw, cfg: HashGridConfig):
+    """Weighted corner gather → [M, L·F] features.
+
+    The exact (8-corner) path gathers per level from the [T, F] slice
+    rather than once from the flat [L·T, F] table: the coarse dense
+    levels' working sets are cache-sized, and XLA's lowering exploits
+    that only when the operand itself is small (measured: 186 vs 210 ms
+    @ 33.6M gathers → 19.9k vs 16.5k rays/s on the train bench, v5e —
+    scripts/bench_encode_split.py).  The stochastic one-corner path
+    (C==1, 8× fewer items) keeps the single flat gather: the split's
+    per-level overhead outweighs the cache win there (75.6k vs 79.8k
+    rays/s measured).  Output values and layout are identical either way."""
     M, L, C = flat_idx.shape
-    feats = table[flat_idx.reshape(-1)]
-    feats = feats.reshape(M, L, C, cfg.n_features_per_level)
-    return jnp.sum(feats * cw, axis=2).reshape(M, L * cfg.n_features_per_level)
+    F = cfg.n_features_per_level
+    if C == 1:
+        feats = table[flat_idx.reshape(-1)]
+        feats = feats.reshape(M, L, C, F)
+        return jnp.sum(feats * cw, axis=2).reshape(M, L * F)
+    tables = table.reshape(L, cfg.table_size, F)
+    outs = []
+    for lv in range(L):
+        local = flat_idx[:, lv, :] - lv * cfg.table_size           # [M, C]
+        feats = tables[lv][local.reshape(-1)].reshape(M, C, F)
+        outs.append(jnp.sum(feats * cw[:, lv], axis=1))            # [M, F]
+    return jnp.concatenate(outs, axis=-1)                          # [M, L·F]
 
 
 def _indices_weights(x, cfg: HashGridConfig, stochastic: bool):
