@@ -251,9 +251,17 @@ def _resnet(p, x, temb, groups):
     return x + h
 
 
-def _attention(p, x, context, n_heads, ip_tokens: int, ip_scale: float):
+def _attention(p, x, context, n_heads, ip_tokens: int, ip_scale: float,
+               attn_maps=None):
     """SDPA attention; two-stream IP split when `to_k_ip` present and the
-    layer is cross-attention (attention_processor.py:282-412)."""
+    layer is cross-attention (attention_processor.py:282-412).
+
+    When ``attn_maps`` is a list, the ip-stream attention probabilities
+    softmax(s·q·k_ipᵀ) are appended to it — the reference's
+    ``IPAttnProcessor2_0.attn_map`` viz hook (attention_processor.py:391;
+    that line softmaxes the *key* due to an operator-precedence slip — the
+    non-torch2 processor at attention_processor.py:168-169 shows the
+    intent, softmax of the scores, which is what we store)."""
     q = split_heads(linear(p["to_q"], x), n_heads)
     if context is None:
         ctx = x
@@ -269,6 +277,12 @@ def _attention(p, x, context, n_heads, ip_tokens: int, ip_scale: float):
         k_ip = split_heads(linear(p["to_k_ip"], ip_ctx), n_heads)
         v_ip = split_heads(linear(p["to_v_ip"], ip_ctx), n_heads)
         out = out + ip_scale * merge_heads(sdpa(q, k_ip, v_ip))
+        if attn_maps is not None:
+            scale = q.shape[-1] ** -0.5
+            logits = jnp.einsum("bhqd,bhkd->bhqk",
+                                (q * scale).astype(jnp.float32),
+                                k_ip.astype(jnp.float32))
+            attn_maps.append(jax.nn.softmax(logits, axis=-1))
     else:
         k = split_heads(linear(p["to_k"], context), n_heads)
         v = split_heads(linear(p["to_v"], context), n_heads)
@@ -276,7 +290,7 @@ def _attention(p, x, context, n_heads, ip_tokens: int, ip_scale: float):
     return linear(p["to_out"], out)
 
 
-def _transformer(p, x, context, cfg: UNetConfig, groups):
+def _transformer(p, x, context, cfg: UNetConfig, groups, attn_maps=None):
     n, c, h, w = x.shape
     n_heads = c // cfg.head_dim
     residual = x
@@ -287,7 +301,8 @@ def _transformer(p, x, context, cfg: UNetConfig, groups):
         y = y + _attention(blk["attn1"], layer_norm(blk["norm1"], y), None,
                            n_heads, 0, 0.0)
         y = y + _attention(blk["attn2"], layer_norm(blk["norm2"], y), context,
-                           n_heads, cfg.ip_num_tokens, cfg.ip_scale)
+                           n_heads, cfg.ip_num_tokens, cfg.ip_scale,
+                           attn_maps)
         z = layer_norm(blk["norm3"], y)
         z = linear(blk["ff_geglu"], z)
         val, gate = jnp.split(z, 2, axis=-1)     # diffusers GEGLU order
@@ -307,6 +322,7 @@ def unet_apply(
     added_time_ids,
     cfg: UNetConfig = UNetConfig(),
     compute_dtype=jnp.float32,
+    capture_ip_attn_maps: bool = False,
 ):
     """Predict noise.
 
@@ -318,7 +334,13 @@ def unet_apply(
       added_text_embeds: [B, pooled_dim] (SDXL `text_embeds`).
       added_time_ids: [B, 6] (SDXL `time_ids`).
 
-    Returns: [B, 4, h, w] epsilon prediction.
+      capture_ip_attn_maps: also return every ip-stream cross-attention
+        probability map (the reference's per-processor ``attn_map`` viz
+        state, attention_processor.py:390-392), outermost-first.
+
+    Returns: [B, 4, h, w] epsilon prediction — or
+    ``(eps, {"ip_attn_maps": [[B, H, S, ip_tokens] f32, ...]})`` when
+    ``capture_ip_attn_maps`` is set.
     """
     g = cfg.norm_groups
     B = sample.shape[0]
@@ -345,6 +367,7 @@ def unet_apply(
                   silu(linear(params["add_embedding"]["linear_1"], add)))
     temb = temb + aemb
 
+    attn_maps = [] if capture_ip_attn_maps else None
     x = conv2d(params["conv_in"], x)
     skips = [x]
     for block in params["down_blocks"]:
@@ -352,7 +375,7 @@ def unet_apply(
         for j, res in enumerate(block["resnets"]):
             x = _resnet(res, x, temb, g)
             if attns:
-                x = _transformer(attns[j], x, context, cfg, g)
+                x = _transformer(attns[j], x, context, cfg, g, attn_maps)
             skips.append(x)
         if "downsample" in block:
             x = conv2d(block["downsample"], x, stride=2, padding=1)
@@ -361,7 +384,7 @@ def unet_apply(
     mid = params["mid_block"]
     x = _resnet(mid["resnets"][0], x, temb, g)
     if mid["attentions"]:
-        x = _transformer(mid["attentions"][0], x, context, cfg, g)
+        x = _transformer(mid["attentions"][0], x, context, cfg, g, attn_maps)
     x = _resnet(mid["resnets"][1], x, temb, g)
 
     for i, block in enumerate(params["up_blocks"]):
@@ -370,7 +393,7 @@ def unet_apply(
             skip = skips.pop()
             x = _resnet(res, jnp.concatenate([x, skip], axis=1), temb, g)
             if attns:
-                x = _transformer(attns[j], x, context, cfg, g)
+                x = _transformer(attns[j], x, context, cfg, g, attn_maps)
         if "upsample" in block:
             n, c, hh, ww = x.shape
             x = jax.image.resize(x, (n, c, hh * 2, ww * 2), "nearest")
@@ -378,4 +401,7 @@ def unet_apply(
 
     x = silu(group_norm(params["conv_norm_out"], x, g, eps=1e-5))
     x = conv2d(params["conv_out"], x)
-    return x.astype(jnp.float32)
+    eps = x.astype(jnp.float32)
+    if capture_ip_attn_maps:
+        return eps, {"ip_attn_maps": attn_maps}
+    return eps

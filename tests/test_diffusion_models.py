@@ -132,6 +132,29 @@ class TestUNet:
                          added_time_ids=tids, cfg=self.cfg)
         assert out.shape == (1, 4, 8, 8)
 
+    def test_capture_ip_attn_maps(self, key):
+        """Opt-in viz capture (the reference's IPAttnProcessor attn_map
+        state, attention_processor.py:390-392): one map per ip
+        cross-attention layer, rows summing to 1, eps unchanged."""
+        params = unet_init(key, self.cfg)
+        x = jax.random.normal(key, (1, 4, 8, 8))
+        ehs, pooled, tids = self._cond(key, 1)
+        plain = unet_apply(params, x, 5, ehs, added_text_embeds=pooled,
+                           added_time_ids=tids, cfg=self.cfg)
+        eps, aux = unet_apply(params, x, 5, ehs, added_text_embeds=pooled,
+                              added_time_ids=tids, cfg=self.cfg,
+                              capture_ip_attn_maps=True)
+        np.testing.assert_allclose(np.asarray(plain), np.asarray(eps),
+                                   rtol=1e-6)
+        maps = aux["ip_attn_maps"]
+        # tiny config (transformer_layers=(0,1)): 2 down + 1 mid + 3 up
+        # transformers, each 1 block deep → 6 ip cross-attn layers
+        assert len(maps) == 6, len(maps)
+        for m in maps:
+            assert m.shape[-1] == self.cfg.ip_num_tokens
+            np.testing.assert_allclose(
+                np.asarray(m.sum(axis=-1)), 1.0, atol=1e-5)
+
     def test_sdxl_unet_param_count(self, key):
         """Full-size U-Net (without ip) ≈ 2.567B params (SDXL base)."""
         params = unet_init(jax.random.PRNGKey(0), UNetConfig(), with_ip=False)
