@@ -137,6 +137,22 @@ def main():
         dt, _ = timeit(do_sort_batched, idx, upd, n=3)
         print(f"lax.sort batched [16, {M//L/1e6:.1f}M]: {dt*1e3:8.1f} ms")
 
+    # --- batched sort with bf16-packed payload (2 operands) ----------
+    if M % L == 0 and F == 2:
+        from stable_nerf_tpu.ops.pallas.scatter import (
+            pack_bf16_pair, unpack_bf16_pair,
+        )
+
+        @jax.jit
+        def do_sort_packed(idx, upd):
+            i2 = idx.reshape(L, M // L)
+            packed = pack_bf16_pair(upd.reshape(L, M // L, F))
+            si, sp = jax.lax.sort([i2, packed], num_keys=1, dimension=1)
+            return si, unpack_bf16_pair(sp)
+
+        dt, _ = timeit(do_sort_packed, idx, upd, n=3)
+        print(f"lax.sort batched, bf16-packed payload: {dt*1e3:6.1f} ms")
+
     # --- XLA gather (forward baseline) -------------------------------
     table = jax.random.normal(key, (T, F), jnp.float32)
 

@@ -99,6 +99,11 @@ class NeRFConfig:
     # (∝ trilinear weight, unbiased) instead of 8-corner interpolation —
     # 8× fewer table gathers/scatters.  Eval renders stay exact.
     hash_stochastic: bool = False
+    # opt-in: round hash-table gradient updates to bf16 and pack both
+    # features into one sort-payload word — the backward sort moves 2
+    # operands instead of 3 (it is bandwidth-bound and dominates the
+    # backward).  ~1e-3 relative gradient noise, bf16-training order.
+    hash_grad_bf16: bool = False
     # density activation: "relu" mirrors the reference's choice
     # (nerf/network.py:46); "trunc_exp" is torch-ngp's original
     # (nerf/activation.py:6-19, defined-but-unused in the reference) and

@@ -95,7 +95,8 @@ def nerf_density(params: NeRFParams, x, cfg: NeRFConfig,
     xn = (x + cfg.bound) / (2 * cfg.bound)
     h = hash_grid_encode(params.hash, xn, cfg.encoding_sigma,
                          custom_bwd=cfg.hash_custom_bwd,
-                         stochastic=stochastic)
+                         stochastic=stochastic,
+                         grad_bf16=cfg.hash_grad_bf16)
     h = _mlp_apply(params.sigma_mlp, h, compute_dtype)
     h0 = h[..., 0].astype(jnp.float32)
     if cfg.density_activation == "trunc_exp":

@@ -199,18 +199,19 @@ def _indices_weights(x, cfg: HashGridConfig, stochastic: bool):
     return _hash_grid_indices_weights(x, cfg)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _hash_encode_custom(table, x, cfg: HashGridConfig, stochastic: bool):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _hash_encode_custom(table, x, cfg: HashGridConfig, stochastic: bool,
+                        grad_bf16: bool):
     flat_idx, cw = _indices_weights(x, cfg, stochastic)
     return _hash_encode_from_table(table, flat_idx, cw, cfg)
 
 
-def _hash_encode_fwd(table, x, cfg, stochastic):
+def _hash_encode_fwd(table, x, cfg, stochastic, grad_bf16):
     flat_idx, cw = _indices_weights(x, cfg, stochastic)
     return _hash_encode_from_table(table, flat_idx, cw, cfg), (x,)
 
 
-def _hash_encode_bwd(cfg, stochastic, res, g):
+def _hash_encode_bwd(cfg, stochastic, grad_bf16, res, g):
     """Table gradient via the Pallas sorted-block scatter
     (ops/pallas/scatter.py) — ~20× cheaper on TPU than XLA's scatter-add.
     Positions get zero gradient (they come from ray data; the reference
@@ -224,7 +225,8 @@ def _hash_encode_bwd(cfg, stochastic, res, g):
     g = g.reshape(M, L, 1, F)
     upd = cw * g                                          # [M, L, C, F]
     table_grad = hash_scatter_add_per_level(
-        flat_idx, upd, cfg.n_levels, cfg.table_size
+        flat_idx, upd, cfg.n_levels, cfg.table_size,
+        payload_bf16=grad_bf16,
     )
     return table_grad, jnp.zeros_like(x)
 
@@ -233,7 +235,8 @@ _hash_encode_custom.defvjp(_hash_encode_fwd, _hash_encode_bwd)
 
 
 def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig,
-                     custom_bwd: bool = False, stochastic: bool = False):
+                     custom_bwd: bool = False, stochastic: bool = False,
+                     grad_bf16: bool = False):
     """Encode positions.
 
     Args:
@@ -247,6 +250,9 @@ def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig,
       stochastic: one-corner-per-level unbiased sampling instead of the
         8-corner trilinear interpolation — 8× fewer table accesses
         (training fast mode; see _hash_grid_indices_stochastic).
+      grad_bf16: (custom_bwd only) round table-gradient updates to bf16
+        and pack both features per sort payload word — a cheaper backward
+        sort at ~1e-3 relative gradient noise (bf16-training order).
 
     Returns: [..., n_levels * n_features] features.
     """
@@ -254,7 +260,8 @@ def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig,
     xf = x.reshape(-1, 3).astype(jnp.float32)                      # [M, 3]
     out_dim = cfg.n_levels * cfg.n_features_per_level
     if custom_bwd:
-        out = _hash_encode_custom(params.table, xf, cfg, stochastic)
+        out = _hash_encode_custom(params.table, xf, cfg, stochastic,
+                                  grad_bf16)
     else:
         flat_idx, cw = _indices_weights(xf, cfg, stochastic)
         out = _hash_encode_from_table(params.table, flat_idx, cw, cfg)

@@ -203,8 +203,26 @@ def _sorted_scatter(sidx, supd, table_size: int):
     return sorted_block_scatter_add(sidx, supd, table_size)
 
 
+def pack_bf16_pair(upd):
+    """[..., 2] f32 → [...] uint32: round each feature to bf16 and pack
+    the two halves into one word (hi = feature 0)."""
+    b = upd.astype(jnp.bfloat16)
+    u = jax.lax.bitcast_convert_type(b, jnp.uint16).astype(jnp.uint32)
+    return (u[..., 0] << 16) | u[..., 1]
+
+
+def unpack_bf16_pair(packed):
+    """[...] uint32 → [..., 2] f32, inverse of :func:`pack_bf16_pair`."""
+    hi = (packed >> 16).astype(jnp.uint16)
+    lo = (packed & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    b = jax.lax.bitcast_convert_type(jnp.stack([hi, lo], axis=-1),
+                                     jnp.bfloat16)
+    return b.astype(jnp.float32)
+
+
 def hash_scatter_add_per_level(idx, upd, n_levels: int, table_size: int, *,
-                               use_pallas: Optional[bool] = None):
+                               use_pallas: Optional[bool] = None,
+                               payload_bf16: bool = False):
     """Scatter-add for per-level-structured updates: idx [M, L, C] into a
     [L·T, F] table where idx[:, l, :] ∈ [l·T, (l+1)·T).
 
@@ -213,6 +231,12 @@ def hash_scatter_add_per_level(idx, upd, n_levels: int, table_size: int, *,
     scripts/bench_scatter_variants.py): each row is already confined to
     its level's index range, so the per-row sorted outputs concatenate
     into a globally sorted array, feeding the same sorted-block kernel.
+
+    payload_bf16 (opt-in, F must be 2): round the updates to bf16 and
+    pack both features into one uint32, so the sort moves 2 operands
+    instead of 3 (the sort is bandwidth-bound and dominates the backward).
+    The accumulation in the kernel stays f32; only the pre-sum rounding is
+    bf16 (~1e-3 relative gradient noise — same order as bf16 training).
     """
     M, L, C = idx.shape
     F = upd.shape[-1]
@@ -220,13 +244,23 @@ def hash_scatter_add_per_level(idx, upd, n_levels: int, table_size: int, *,
     if use_pallas is None:
         use_pallas = _on_tpu() and total % 1024 == 0
     if not use_pallas:
+        u = upd.astype(jnp.float32)
+        if payload_bf16 and F == 2:
+            u = unpack_bf16_pair(pack_bf16_pair(u))    # same rounding
         return jnp.zeros((total, F), jnp.float32).at[idx.reshape(-1)].add(
-            upd.reshape(-1, F), mode="drop"
+            u.reshape(-1, F), mode="drop"
         )
     idx_l = idx.astype(jnp.int32).transpose(1, 0, 2).reshape(L, M * C)
     upd_l = upd.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(L, M * C, F)
-    operands = [idx_l] + [upd_l[..., f] for f in range(F)]
-    sorted_ops = jax.lax.sort(operands, num_keys=1, dimension=1)
-    sidx = sorted_ops[0].reshape(-1)
-    supd = jnp.stack(sorted_ops[1:], axis=-1).reshape(-1, F)
+    if payload_bf16 and F == 2:
+        packed = pack_bf16_pair(upd_l)                          # [L, MC] u32
+        sidx_l, spacked = jax.lax.sort([idx_l, packed], num_keys=1,
+                                       dimension=1)
+        sidx = sidx_l.reshape(-1)
+        supd = unpack_bf16_pair(spacked.reshape(-1))
+    else:
+        operands = [idx_l] + [upd_l[..., f] for f in range(F)]
+        sorted_ops = jax.lax.sort(operands, num_keys=1, dimension=1)
+        sidx = sorted_ops[0].reshape(-1)
+        supd = jnp.stack(sorted_ops[1:], axis=-1).reshape(-1, F)
     return _sorted_scatter(sidx, supd, total)

@@ -96,3 +96,56 @@ def test_custom_bwd_under_jit_and_batch_shapes(key):
     g = jax.grad(f)(params.table)
     assert g.shape == params.table.shape
     assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_pack_unpack_bf16_pair_roundtrip(rng):
+    from stable_nerf_tpu.ops.pallas.scatter import (
+        pack_bf16_pair, unpack_bf16_pair,
+    )
+
+    u = jnp.asarray(rng.standard_normal((64, 2)).astype(np.float32)) * 10.0
+    packed = pack_bf16_pair(u)
+    assert packed.dtype == jnp.uint32
+    got = unpack_bf16_pair(packed)
+    want = np.asarray(u.astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_per_level_payload_bf16_matches_rounded_dense(rng):
+    """payload_bf16 must equal the dense scatter of bf16-rounded updates
+    (only the pre-sum rounding differs from the exact path)."""
+    from stable_nerf_tpu.ops.pallas.scatter import hash_scatter_add_per_level
+
+    L, T, M, C, F = 3, 64, 50, 8, 2
+    idx = np.stack(
+        [rng.integers(l * T, (l + 1) * T, size=(M, C)) for l in range(L)],
+        axis=1,
+    ).astype(np.int32)
+    upd = rng.standard_normal((M, L, C, F)).astype(np.float32)
+    got = hash_scatter_add_per_level(jnp.asarray(idx), jnp.asarray(upd), L, T,
+                                     use_pallas=False, payload_bf16=True)
+    rounded = np.asarray(
+        jnp.asarray(upd).astype(jnp.bfloat16).astype(jnp.float32))
+    want = np.zeros((L * T, F), np.float32)
+    np.add.at(want, idx.reshape(-1), rounded.reshape(-1, F))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_grad_bf16_encode_close_to_exact(key):
+    """End-to-end: grad_bf16 custom backward stays within bf16 rounding of
+    the exact custom backward."""
+    cfg = HashGridConfig(n_levels=4, log2_hashmap_size=8, base_resolution=4)
+    params = hash_grid_init(key, cfg)
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (32, 3))
+
+    def loss(table, grad_bf16):
+        from stable_nerf_tpu.ops.encoding import HashGridParams
+        out = hash_grid_encode(HashGridParams(table), x, cfg,
+                               custom_bwd=True, grad_bf16=grad_bf16)
+        return jnp.sum(jnp.sin(out) ** 2)
+
+    g_exact = jax.grad(lambda t: loss(t, False))(params.table)
+    g_bf16 = jax.grad(lambda t: loss(t, True))(params.table)
+    denom = np.maximum(np.abs(np.asarray(g_exact)), 1e-3)
+    rel = np.abs(np.asarray(g_bf16 - g_exact)) / denom
+    assert rel.max() < 2e-2, rel.max()
