@@ -68,10 +68,13 @@ def main():
     state = jax.jit(
         lambda s, p: mark_untrained_grid(s, p, (138.0, 138.0, 32, 32), cfg)
     )(state, poses)
-    dens = lambda x: nerf_density(params, x, cfg)["sigma"]
-    state = jax.block_until_ready(
-        jax.jit(lambda s, k: update_extra_state(s, dens, k, cfg))(state, key)
-    )
+
+    @jax.jit
+    def refresh(state, params, k):
+        dens = lambda x: nerf_density(params, x, cfg)["sigma"]
+        return update_extra_state(state, dens, k, cfg)
+
+    state = jax.block_until_ready(refresh(state, params, key))
     occ_frac = float(jax.device_get(state.occ.mean()))
     print(f"occ fraction: {occ_frac:.3f}")
 
@@ -96,9 +99,10 @@ def main():
     def stage_compact(o, d):
         pos, ts, dt, valid, *_ = march(o, d)
         N, K = valid.shape
-        dirs = jnp.broadcast_to(d[:, None, :], (N, K, 3))
         plan = compact_plan(valid, budget)
-        return gather_compact(plan, pos), gather_compact(plan, dirs)
+        ray_of = jnp.minimum(plan.src_idx // K, N - 1)
+        dirs_c = d[ray_of] * plan.slot_used[:, None].astype(d.dtype)
+        return gather_compact(plan, pos), dirs_c
 
     @jax.jit
     def stage_eval(o, d):
@@ -110,11 +114,11 @@ def main():
     def stage_scatter_back(o, d):
         pos, ts, dt, valid, *_ = march(o, d)
         N, K = valid.shape
-        dirs = jnp.broadcast_to(d[:, None, :], (N, K, 3))
         plan = compact_plan(valid, budget)
+        ray_of = jnp.minimum(plan.src_idx // K, N - 1)
+        dirs_c = d[ray_of] * plan.slot_used[:, None].astype(d.dtype)
         sig_c, rgb_c = _eval_samples(params, gather_compact(plan, pos),
-                                     gather_compact(plan, dirs), cfg,
-                                     jnp.bfloat16, 2 ** 17)
+                                     dirs_c, cfg, jnp.bfloat16, 2 ** 17)
         M = N * K
         sig = scatter_back(plan, sig_c, M).reshape(N, K)
         rgb = scatter_back(plan, rgb_c, M).reshape(N, K, cfg.channel_dim)

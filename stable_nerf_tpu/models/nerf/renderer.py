@@ -117,7 +117,6 @@ def render(
     )                                                   # [N, K, 3], [N, K]
 
     K = ts.shape[1]
-    dirs = jnp.broadcast_to(d[:, None, :], (N, K, 3))
     M = N * K
 
     if sample_budget is not None and sample_budget < M:
@@ -126,13 +125,18 @@ def render(
         # over-budget samples are dropped like raymarching.py:198-203)
         plan = compact_plan(valid, sample_budget)
         pos_c = gather_compact(plan, pos)
-        dirs_c = gather_compact(plan, dirs)
+        # directions are constant along a ray: gather [budget] rows from
+        # the [N, 3] ray directions (src // K = ray id) instead of
+        # materializing and regathering a [N, K, 3] broadcast
+        ray_of = jnp.minimum(plan.src_idx // K, N - 1)
+        dirs_c = d[ray_of] * plan.slot_used[:, None].astype(d.dtype)
         sig_c, rgb_c = _eval_samples(params, pos_c, dirs_c, cfg,
                                      compute_dtype, eval_chunk, stochastic)
         sigmas = scatter_back(plan, sig_c, M).reshape(N, K)
         rgbs = scatter_back(plan, rgb_c, M).reshape(N, K, cfg.channel_dim)
         valid = plan.new_valid
     else:
+        dirs = jnp.broadcast_to(d[:, None, :], (N, K, 3))
         sig_f, rgb_f = _eval_samples(
             params, pos.reshape(M, 3), dirs.reshape(M, 3), cfg,
             compute_dtype, eval_chunk, stochastic,

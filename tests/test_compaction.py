@@ -176,3 +176,30 @@ def test_renderer_budget_matches_dense(rng, key):
                                np.asarray(dense["image"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(budgeted["weights_sum"]),
                                np.asarray(dense["weights_sum"]), atol=1e-5)
+
+
+def test_scatter_back_vjp_matches_scatter_formulation(rng):
+    """The gather-based unpack (fwd and custom VJP bwd) must match the
+    .at[idx].set scatter formulation in value and gradient."""
+    import jax
+
+    from stable_nerf_tpu.ops.compaction import compact_plan, scatter_back
+
+    N, K, budget = 7, 13, 32
+    valid = jnp.asarray(rng.random((N, K)) < 0.6)
+    plan = compact_plan(valid, budget)
+    values = jnp.asarray(rng.standard_normal((budget, 3)).astype(np.float32))
+    nk = N * K
+
+    def scatter_ref(v):
+        idx = jnp.where(plan.slot_used, plan.src_idx, nk)
+        return jnp.zeros((nk, 3), v.dtype).at[idx].set(v, mode="drop")
+
+    out = scatter_back(plan, values, nk)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(scatter_ref(values)))
+
+    cot = jnp.asarray(rng.standard_normal((nk, 3)).astype(np.float32))
+    g_new = jax.grad(lambda v: jnp.vdot(scatter_back(plan, v, nk), cot))(values)
+    g_ref = jax.grad(lambda v: jnp.vdot(scatter_ref(v), cot))(values)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
