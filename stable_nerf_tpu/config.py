@@ -99,6 +99,12 @@ class NeRFConfig:
     # (∝ trilinear weight, unbiased) instead of 8-corner interpolation —
     # 8× fewer table gathers/scatters.  Eval renders stay exact.
     hash_stochastic: bool = False
+    # hybrid fast mode: with hash_stochastic set, keep the exact 8-corner
+    # interpolation on levels below this index (the coarse dense levels,
+    # whose gathers run at cache speed) and one-corner sampling on the
+    # fine hashed levels that dominate the gather/scatter cost.  0 = fully
+    # stochastic; >= n_levels = exact.
+    hash_stochastic_min_level: int = 0
     # opt-in: round hash-table gradient updates to bf16 and pack both
     # features into one sort-payload word — the backward sort moves 2
     # operands instead of 3 (it is bandwidth-bound and dominates the

@@ -96,7 +96,8 @@ def nerf_density(params: NeRFParams, x, cfg: NeRFConfig,
     h = hash_grid_encode(params.hash, xn, cfg.encoding_sigma,
                          custom_bwd=cfg.hash_custom_bwd,
                          stochastic=stochastic,
-                         grad_bf16=cfg.hash_grad_bf16)
+                         grad_bf16=cfg.hash_grad_bf16,
+                         stochastic_min_level=cfg.hash_stochastic_min_level)
     h = _mlp_apply(params.sigma_mlp, h, compute_dtype)
     h0 = h[..., 0].astype(jnp.float32)
     if cfg.density_activation == "trunc_exp":

@@ -58,26 +58,30 @@ def hash_grid_init(key, cfg: HashGridConfig, dtype=jnp.float32) -> HashGridParam
     return HashGridParams(table=table)
 
 
-def _cell_coords(x, cfg: HashGridConfig):
-    """[M, 3] in [0,1] → (p0 [M, L, 3] int32, w [M, L, 3] f32 fractions)."""
+def _cell_coords(x, cfg: HashGridConfig, lv0: int = 0, lv1: int | None = None):
+    """[M, 3] in [0,1] → (p0 [M, L', 3] int32, w [M, L', 3] f32 fractions)
+    for levels [lv0, lv1)."""
     scales, _, _ = _level_geometry(cfg)
+    lv1 = cfg.n_levels if lv1 is None else lv1
     # per-level continuous grid coords: pos = x*scale + 0.5 (tcnn pos_fract)
-    scale_arr = jnp.asarray(scales, jnp.float32)                   # [L]
-    pos = x[:, None, :] * scale_arr[None, :, None] + 0.5           # [M, L, 3]
+    scale_arr = jnp.asarray(scales[lv0:lv1], jnp.float32)          # [L']
+    pos = x[:, None, :] * scale_arr[None, :, None] + 0.5           # [M, L', 3]
     p0 = jnp.floor(pos)
-    w = pos - p0                                                   # [M, L, 3]
+    w = pos - p0                                                   # [M, L', 3]
     return p0.astype(jnp.int32), w
 
 
-def _flat_index(cpos, cfg: HashGridConfig):
-    """Corner coords [M, L, C, 3] → flat table indices [M, L, C] int32.
+def _flat_index(cpos, cfg: HashGridConfig, lv0: int = 0):
+    """Corner coords [M, L', C, 3] (levels lv0..lv0+L'−1) → flat table
+    indices [M, L', C] int32.
 
     Per-level dense strides if the level fits the table, else the tcnn
     spatial hash; +level·T offset into the concatenated table."""
     _, resolutions, dense = _level_geometry(cfg)
-    T, L = cfg.table_size, cfg.n_levels
-    res_arr = jnp.asarray(resolutions, jnp.int32)                  # [L]
-    dense_arr = jnp.asarray(dense)                                 # [L] bool
+    T = cfg.table_size
+    Lp = cpos.shape[1]
+    res_arr = jnp.asarray(resolutions[lv0:lv0 + Lp], jnp.int32)    # [L']
+    dense_arr = jnp.asarray(dense[lv0:lv0 + Lp])                   # [L'] bool
     cx, cy, cz = cpos[..., 0], cpos[..., 1], cpos[..., 2]
     r = res_arr[None, :, None]
     dense_idx = (cx + cy * r + cz * r * r).astype(jnp.uint32)
@@ -87,20 +91,23 @@ def _flat_index(cpos, cfg: HashGridConfig):
         ^ cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
     )
     idx = jnp.where(dense_arr[None, :, None], dense_idx, hashed) % jnp.uint32(T)
-    level_off = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[None, :, None]
-    return (idx + level_off).astype(jnp.int32)                     # [M, L, C]
+    level_off = (jnp.arange(lv0, lv0 + Lp, dtype=jnp.uint32)
+                 * jnp.uint32(T))[None, :, None]
+    return (idx + level_off).astype(jnp.int32)                     # [M, L', C]
 
 
-def _hash_grid_indices_weights(x, cfg: HashGridConfig):
-    """[M, 3] in [0,1] → (flat_idx [M, L, 8] int32, cw [M, L, 8, 1] f32)."""
-    p0, w = _cell_coords(x, cfg)
+def _hash_grid_indices_weights(x, cfg: HashGridConfig, lv0: int = 0,
+                               lv1: int | None = None):
+    """[M, 3] in [0,1] → (flat_idx [M, L', 8] int32, cw [M, L', 8, 1] f32)
+    for levels [lv0, lv1)."""
+    p0, w = _cell_coords(x, cfg, lv0, lv1)
 
     # 8 corner offsets
     corners = jnp.asarray(
         [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], jnp.int32
     )                                                              # [8, 3]
     cpos = p0[:, :, None, :] + corners[None, None, :, :]           # [M, L, 8, 3]
-    flat_idx = _flat_index(cpos, cfg)                              # [M, L, 8]
+    flat_idx = _flat_index(cpos, cfg, lv0)                         # [M, L, 8]
 
     # trilinear weights in the same corner order
     wx, wy, wz = w[..., 0:1], w[..., 1:2], w[..., 2:3]             # [M, L, 1]
@@ -120,18 +127,19 @@ def _hash_grid_indices_weights(x, cfg: HashGridConfig):
     return flat_idx, cw
 
 
-def _stateless_uniform3(x, L: int):
+def _stateless_uniform3(x, L: int, lv0: int = 0):
     """Position-seeded uniforms: [M, 3] f32 → [M, L, 3] in [0, 1).
 
     murmur-style bit mixing of the position's float bits, decorrelated
-    per level and per axis.  Stateless so the stochastic-corner encode
-    stays a pure function of x (training jitters x every step via the
-    per-ray perturb, which refreshes the draw)."""
+    per level (absolute level ids lv0..lv0+L−1, so sliced calls draw the
+    same values as the full-range call) and per axis.  Stateless so the
+    stochastic-corner encode stays a pure function of x (training jitters
+    x every step via the per-ray perturb, which refreshes the draw)."""
     bx = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
     h = (bx[:, 0] * jnp.uint32(_PRIMES[0])
          ^ bx[:, 1] * jnp.uint32(_PRIMES[1])
          ^ bx[:, 2] * jnp.uint32(_PRIMES[2]))                      # [M]
-    lvl = jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+    lvl = jnp.arange(lv0, lv0 + L, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
     hh = h[:, None] ^ lvl[None]                                    # [M, L]
 
     def mix(v, c):
@@ -145,7 +153,8 @@ def _stateless_uniform3(x, L: int):
     return (u >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
 
 
-def _hash_grid_indices_stochastic(x, cfg: HashGridConfig):
+def _hash_grid_indices_stochastic(x, cfg: HashGridConfig, lv0: int = 0,
+                                  lv1: int | None = None):
     """One corner per (sample, level), drawn ∝ its trilinear weight.
 
     Because trilinear weights factorize per axis, sampling each axis bit
@@ -155,18 +164,21 @@ def _hash_grid_indices_stochastic(x, cfg: HashGridConfig):
     gradient).  8× fewer gathers/scatter-updates than the exact path —
     the opt-in TPU fast mode for training (NeRFConfig.hash_stochastic).
 
-    Returns (flat_idx [M, L, 1] int32, cw [M, L, 1, 1] f32 ones).
+    Returns (flat_idx [M, L', 1] int32, cw [M, L', 1, 1] f32 ones) for
+    levels [lv0, lv1).
     """
-    p0, w = _cell_coords(x, cfg)
-    u = _stateless_uniform3(x, cfg.n_levels)                       # [M, L, 3]
-    bits = (u < w).astype(jnp.int32)                               # [M, L, 3]
-    cpos = (p0 + bits)[:, :, None, :]                              # [M, L, 1, 3]
-    flat_idx = _flat_index(cpos, cfg)                              # [M, L, 1]
+    lv1 = cfg.n_levels if lv1 is None else lv1
+    p0, w = _cell_coords(x, cfg, lv0, lv1)
+    u = _stateless_uniform3(x, lv1 - lv0, lv0)                     # [M, L', 3]
+    bits = (u < w).astype(jnp.int32)                               # [M, L', 3]
+    cpos = (p0 + bits)[:, :, None, :]                              # [M, L', 1, 3]
+    flat_idx = _flat_index(cpos, cfg, lv0)                         # [M, L', 1]
     cw = jnp.ones((*flat_idx.shape, 1), jnp.float32)
     return flat_idx, cw
 
 
-def _hash_encode_from_table(table, flat_idx, cw, cfg: HashGridConfig):
+def _hash_encode_from_table(table, flat_idx, cw, cfg: HashGridConfig,
+                            lv0: int = 0):
     """Weighted corner gather → [M, L·F] features.
 
     The exact (8-corner) path gathers per level from the [T, F] slice
@@ -184,12 +196,13 @@ def _hash_encode_from_table(table, flat_idx, cw, cfg: HashGridConfig):
         feats = table[flat_idx.reshape(-1)]
         feats = feats.reshape(M, L, C, F)
         return jnp.sum(feats * cw, axis=2).reshape(M, L * F)
-    tables = table.reshape(L, cfg.table_size, F)
+    tables = table.reshape(cfg.n_levels, cfg.table_size, F)
     outs = []
-    for lv in range(L):
-        local = flat_idx[:, lv, :] - lv * cfg.table_size           # [M, C]
+    for i in range(L):
+        lv = lv0 + i
+        local = flat_idx[:, i, :] - lv * cfg.table_size            # [M, C]
         feats = tables[lv][local.reshape(-1)].reshape(M, C, F)
-        outs.append(jnp.sum(feats * cw[:, lv], axis=1))            # [M, F]
+        outs.append(jnp.sum(feats * cw[:, i], axis=1))             # [M, F]
     return jnp.concatenate(outs, axis=-1)                          # [M, L·F]
 
 
@@ -199,35 +212,67 @@ def _indices_weights(x, cfg: HashGridConfig, stochastic: bool):
     return _hash_grid_indices_weights(x, cfg)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _hash_sections(x, cfg: HashGridConfig, stochastic: bool, min_level: int):
+    """The encode as level sections [(lv0, flat_idx, cw), …].
+
+    Pure exact / pure stochastic are one full-range section.  The hybrid
+    (stochastic with 0 < min_level < L) is two: exact 8-corner trilinear
+    on levels [0, min_level) — the coarse dense levels whose gathers run
+    at cache speed anyway — and one-corner sampling on [min_level, L),
+    the fine hashed levels that dominate the gather/scatter cost
+    (ARCHITECTURE.md encode study)."""
+    L = cfg.n_levels
+    if not stochastic or min_level >= L:
+        return ((0, *_hash_grid_indices_weights(x, cfg)),)
+    if min_level <= 0:
+        return ((0, *_hash_grid_indices_stochastic(x, cfg)),)
+    return (
+        (0, *_hash_grid_indices_weights(x, cfg, 0, min_level)),
+        (min_level, *_hash_grid_indices_stochastic(x, cfg, min_level, L)),
+    )
+
+
+def _encode_sections(table, sections, cfg: HashGridConfig):
+    outs = [_hash_encode_from_table(table, fi, cw, cfg, lv0)
+            for lv0, fi, cw in sections]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _hash_encode_custom(table, x, cfg: HashGridConfig, stochastic: bool,
-                        grad_bf16: bool):
-    flat_idx, cw = _indices_weights(x, cfg, stochastic)
-    return _hash_encode_from_table(table, flat_idx, cw, cfg)
+                        grad_bf16: bool, min_level: int):
+    return _encode_sections(table, _hash_sections(x, cfg, stochastic,
+                                                  min_level), cfg)
 
 
-def _hash_encode_fwd(table, x, cfg, stochastic, grad_bf16):
-    flat_idx, cw = _indices_weights(x, cfg, stochastic)
-    return _hash_encode_from_table(table, flat_idx, cw, cfg), (x,)
+def _hash_encode_fwd(table, x, cfg, stochastic, grad_bf16, min_level):
+    return _hash_encode_custom(table, x, cfg, stochastic, grad_bf16,
+                               min_level), (x,)
 
 
-def _hash_encode_bwd(cfg, stochastic, grad_bf16, res, g):
+def _hash_encode_bwd(cfg, stochastic, grad_bf16, min_level, res, g):
     """Table gradient via the Pallas sorted-block scatter
     (ops/pallas/scatter.py) — ~20× cheaper on TPU than XLA's scatter-add.
-    Positions get zero gradient (they come from ray data; the reference
-    never propagates into them either)."""
+    Each level section scatters into its own [L'·T, F] slab (indices
+    rebased so the kernel sees levels 0..L'−1); slabs concatenate into
+    the full table gradient.  Positions get zero gradient (they come from
+    ray data; the reference never propagates into them either)."""
     from .pallas.scatter import hash_scatter_add_per_level
 
     (x,) = res
-    flat_idx, cw = _indices_weights(x, cfg, stochastic)
-    M, L, C = flat_idx.shape
+    sections = _hash_sections(x, cfg, stochastic, min_level)
+    M = x.shape[0]
     F = cfg.n_features_per_level
-    g = g.reshape(M, L, 1, F)
-    upd = cw * g                                          # [M, L, C, F]
-    table_grad = hash_scatter_add_per_level(
-        flat_idx, upd, cfg.n_levels, cfg.table_size,
-        payload_bf16=grad_bf16,
-    )
+    T = cfg.table_size
+    g = g.reshape(M, cfg.n_levels, 1, F)
+    slabs = []
+    for lv0, flat_idx, cw in sections:
+        Lp = flat_idx.shape[1]
+        upd = cw * g[:, lv0:lv0 + Lp]                     # [M, L', C, F]
+        slabs.append(hash_scatter_add_per_level(
+            flat_idx - lv0 * T, upd, Lp, T, payload_bf16=grad_bf16,
+        ))
+    table_grad = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs)
     return table_grad, jnp.zeros_like(x)
 
 
@@ -236,7 +281,7 @@ _hash_encode_custom.defvjp(_hash_encode_fwd, _hash_encode_bwd)
 
 def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig,
                      custom_bwd: bool = False, stochastic: bool = False,
-                     grad_bf16: bool = False):
+                     grad_bf16: bool = False, stochastic_min_level: int = 0):
     """Encode positions.
 
     Args:
@@ -253,6 +298,10 @@ def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig,
       grad_bf16: (custom_bwd only) round table-gradient updates to bf16
         and pack both features per sort payload word — a cheaper backward
         sort at ~1e-3 relative gradient noise (bf16-training order).
+      stochastic_min_level: hybrid mode — keep the exact 8-corner encode
+        on levels below this (the cheap cache-resident dense levels) and
+        sample one corner only from the fine hashed levels.  0 = fully
+        stochastic when ``stochastic`` is set; >= n_levels = exact.
 
     Returns: [..., n_levels * n_features] features.
     """
@@ -261,10 +310,10 @@ def hash_grid_encode(params: HashGridParams, x, cfg: HashGridConfig,
     out_dim = cfg.n_levels * cfg.n_features_per_level
     if custom_bwd:
         out = _hash_encode_custom(params.table, xf, cfg, stochastic,
-                                  grad_bf16)
+                                  grad_bf16, stochastic_min_level)
     else:
-        flat_idx, cw = _indices_weights(xf, cfg, stochastic)
-        out = _hash_encode_from_table(params.table, flat_idx, cw, cfg)
+        sections = _hash_sections(xf, cfg, stochastic, stochastic_min_level)
+        out = _encode_sections(params.table, sections, cfg)
     return out.reshape(*batch_shape, out_dim)
 
 
