@@ -79,6 +79,10 @@ def main():
                          "'auto', or make the budget generous")
     ap.add_argument("--stochastic", action="store_true",
                     help="hash_stochastic training fast mode")
+    ap.add_argument("--stochastic-min-level", type=int, default=0,
+                    help="with --stochastic: keep exact 8-corner interp "
+                         "on levels below this index (hybrid fast mode); "
+                         "0 = fully stochastic")
     ap.add_argument("--density-act", default="trunc_exp",
                     choices=["trunc_exp", "relu"])
     ap.add_argument("--no-custom-bwd", action="store_true",
@@ -110,6 +114,7 @@ def main():
 
     cfg = NeRFConfig(channel_dim=3, grid_size=args.grid_size,
                      hash_stochastic=args.stochastic,
+                     hash_stochastic_min_level=args.stochastic_min_level,
                      density_activation=args.density_act,
                      hash_custom_bwd=not args.no_custom_bwd)
     auto_budget = args.sample_budget == "auto"

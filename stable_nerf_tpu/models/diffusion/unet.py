@@ -251,10 +251,26 @@ def _resnet(p, x, temb, groups):
     return x + h
 
 
-def _attention(p, x, context, n_heads, ip_tokens: int, ip_scale: float,
-               attn_maps=None):
+def _reduce_proj(p, x, tp_axis):
+    """Output projection after a column-sharded block: local matmul, psum of
+    the partial sums over the tensor-parallel axis, bias added once (the
+    megatron row-parallel linear).  With ``tp_axis=None`` this is `linear`."""
+    out = x @ p["kernel"].astype(x.dtype)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def _attention(p, x, context, head_dim, ip_tokens: int, ip_scale: float,
+               attn_maps=None, tp_axis=None):
     """SDPA attention; two-stream IP split when `to_k_ip` present and the
     layer is cross-attention (attention_processor.py:282-412).
+
+    The head count is derived from the (possibly tensor-parallel-sharded)
+    `to_q` kernel width, so under a `model` mesh axis each shard runs its
+    local head group and the row-parallel `to_out` psums the partials.
 
     When ``attn_maps`` is a list, the ip-stream attention probabilities
     softmax(s·q·k_ipᵀ) are appended to it — the reference's
@@ -262,6 +278,7 @@ def _attention(p, x, context, n_heads, ip_tokens: int, ip_scale: float,
     that line softmaxes the *key* due to an operator-precedence slip — the
     non-torch2 processor at attention_processor.py:168-169 shows the
     intent, softmax of the scores, which is what we store)."""
+    n_heads = p["to_q"]["kernel"].shape[1] // head_dim
     q = split_heads(linear(p["to_q"], x), n_heads)
     if context is None:
         ctx = x
@@ -282,31 +299,35 @@ def _attention(p, x, context, n_heads, ip_tokens: int, ip_scale: float,
             logits = jnp.einsum("bhqd,bhkd->bhqk",
                                 (q * scale).astype(jnp.float32),
                                 k_ip.astype(jnp.float32))
-            attn_maps.append(jax.nn.softmax(logits, axis=-1))
+            probs = jax.nn.softmax(logits, axis=-1)
+            if tp_axis is not None:        # reassemble the full head axis
+                probs = jax.lax.all_gather(probs, tp_axis, axis=1, tiled=True)
+            attn_maps.append(probs)
     else:
         k = split_heads(linear(p["to_k"], context), n_heads)
         v = split_heads(linear(p["to_v"], context), n_heads)
         out = merge_heads(sdpa(q, k, v))
-    return linear(p["to_out"], out)
+    return _reduce_proj(p["to_out"], out, tp_axis)
 
 
-def _transformer(p, x, context, cfg: UNetConfig, groups, attn_maps=None):
+def _transformer(p, x, context, cfg: UNetConfig, groups, attn_maps=None,
+                 tp_axis=None):
     n, c, h, w = x.shape
-    n_heads = c // cfg.head_dim
     residual = x
     y = group_norm(p["norm"], x, groups, eps=1e-6)
     y = y.reshape(n, c, h * w).transpose(0, 2, 1)
     y = linear(p["proj_in"], y)
     for blk in p["blocks"]:
         y = y + _attention(blk["attn1"], layer_norm(blk["norm1"], y), None,
-                           n_heads, 0, 0.0)
+                           cfg.head_dim, 0, 0.0, tp_axis=tp_axis)
         y = y + _attention(blk["attn2"], layer_norm(blk["norm2"], y), context,
-                           n_heads, cfg.ip_num_tokens, cfg.ip_scale,
-                           attn_maps)
+                           cfg.head_dim, cfg.ip_num_tokens, cfg.ip_scale,
+                           attn_maps, tp_axis=tp_axis)
         z = layer_norm(blk["norm3"], y)
         z = linear(blk["ff_geglu"], z)
         val, gate = jnp.split(z, 2, axis=-1)     # diffusers GEGLU order
-        z = linear(blk["ff_out"], val * jax.nn.gelu(gate, approximate=False))
+        z = _reduce_proj(blk["ff_out"],
+                         val * jax.nn.gelu(gate, approximate=False), tp_axis)
         y = y + z
     y = linear(p["proj_out"], y)
     return residual + y.transpose(0, 2, 1).reshape(n, c, h, w)
@@ -323,6 +344,7 @@ def unet_apply(
     cfg: UNetConfig = UNetConfig(),
     compute_dtype=jnp.float32,
     capture_ip_attn_maps: bool = False,
+    tp_axis: Optional[str] = None,
 ):
     """Predict noise.
 
@@ -337,6 +359,12 @@ def unet_apply(
       capture_ip_attn_maps: also return every ip-stream cross-attention
         probability map (the reference's per-processor ``attn_map`` viz
         state, attention_processor.py:390-392), outermost-first.
+
+      tp_axis: mesh axis name for megatron-style tensor parallelism.  Call
+        under `shard_map` with the attention/FFN kernels column/row-sharded
+        per ``parallel.tp.unet_tp_specs`` and GEGLU kernels pre-permuted by
+        ``parallel.tp.permute_unet_for_tp``; activations stay replicated
+        and each psum rides the ICI ring.  None = single-shard math.
 
     Returns: [B, 4, h, w] epsilon prediction — or
     ``(eps, {"ip_attn_maps": [[B, H, S, ip_tokens] f32, ...]})`` when
@@ -375,7 +403,7 @@ def unet_apply(
         for j, res in enumerate(block["resnets"]):
             x = _resnet(res, x, temb, g)
             if attns:
-                x = _transformer(attns[j], x, context, cfg, g, attn_maps)
+                x = _transformer(attns[j], x, context, cfg, g, attn_maps, tp_axis)
             skips.append(x)
         if "downsample" in block:
             x = conv2d(block["downsample"], x, stride=2, padding=1)
@@ -384,7 +412,8 @@ def unet_apply(
     mid = params["mid_block"]
     x = _resnet(mid["resnets"][0], x, temb, g)
     if mid["attentions"]:
-        x = _transformer(mid["attentions"][0], x, context, cfg, g, attn_maps)
+        x = _transformer(mid["attentions"][0], x, context, cfg, g, attn_maps,
+                         tp_axis)
     x = _resnet(mid["resnets"][1], x, temb, g)
 
     for i, block in enumerate(params["up_blocks"]):
@@ -393,7 +422,7 @@ def unet_apply(
             skip = skips.pop()
             x = _resnet(res, jnp.concatenate([x, skip], axis=1), temb, g)
             if attns:
-                x = _transformer(attns[j], x, context, cfg, g, attn_maps)
+                x = _transformer(attns[j], x, context, cfg, g, attn_maps, tp_axis)
         if "upsample" in block:
             n, c, hh, ww = x.shape
             x = jax.image.resize(x, (n, c, hh * 2, ww * 2), "nearest")

@@ -6,12 +6,30 @@ from .sharding import (
     replicate,
     shard_batch,
 )
+from .tp import (
+    joint_param_shardings,
+    make_mesh_2d,
+    make_tp_unet_apply,
+    permute_unet_for_tp,
+    place_joint_for_gspmd,
+    shard_unet_for_tp,
+    unet_tp_shardings,
+    unet_tp_specs,
+)
 
 __all__ = [
     "barrier",
+    "joint_param_shardings",
     "make_mesh",
+    "make_mesh_2d",
     "make_parallel_train_step",
+    "make_tp_unet_apply",
+    "permute_unet_for_tp",
+    "place_joint_for_gspmd",
     "process_shard_indices",
     "replicate",
     "shard_batch",
+    "shard_unet_for_tp",
+    "unet_tp_shardings",
+    "unet_tp_specs",
 ]

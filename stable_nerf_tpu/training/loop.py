@@ -54,6 +54,7 @@ def train(
     pretrained_sd: Optional[Dict] = None,
     log_fn=print,
     data_parallel: bool = False,
+    tensor_parallel: int = 1,
     mesh=None,
 ):
     """Run joint training; returns (params, grid_state, metrics_history).
@@ -66,7 +67,17 @@ def train(
     device sees ``cfg.train.batch_size`` samples per step, matching DDP's
     per-worker batch semantics; on multi-host, each process additionally
     iterates only its slice of the train split (DistributedSampler
-    equivalent)."""
+    equivalent).
+
+    With ``tensor_parallel > 1`` the mesh becomes 2-D (data × model) and the
+    U-Net's attention/GEGLU kernels (and their optimizer state) shard over
+    the model axis via GSPMD placement (parallel.tp.place_joint_for_gspmd):
+    the unmodified train step is jitted on committed shardings and XLA
+    inserts the tensor-parallel collectives and the data-axis grad
+    all-reduce.  The reference has no model parallelism; this is the
+    TPU-native scale-out for when the 2.6B U-Net (plus optimizer state)
+    outgrows one chip's HBM.  Requires tensor_parallel ∈ {2, 5, 10} (head
+    divisibility) and n_devices % tensor_parallel == 0."""
     os.makedirs(workdir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
     k_sd, k_nerf, key = jax.random.split(key, 3)
@@ -105,7 +116,12 @@ def train(
     trainable, _ = partition(params, mask)
     opt_state = optimizer.init(trainable)
 
-    if data_parallel and mesh is None:
+    gspmd = tensor_parallel > 1
+    if gspmd and mesh is None:
+        from ..parallel.tp import make_mesh_2d
+
+        mesh = make_mesh_2d(tp=tensor_parallel)
+    elif data_parallel and mesh is None:
         mesh = make_mesh()
     step_cache = {}
 
@@ -115,9 +131,10 @@ def train(
         if budget not in step_cache:
             inner = make_train_step(
                 cfg, scheduler, optimizer, mask, sample_budget=budget,
-                **({"pmean_axis": "data"} if mesh is not None else {}))
-            step_cache[budget] = (make_parallel_train_step(inner, mesh)
-                                  if mesh is not None else jax.jit(inner))
+                **({"pmean_axis": "data"}
+                   if mesh is not None and not gspmd else {}))
+            step_cache[budget] = (jax.jit(inner) if mesh is None or gspmd
+                                  else make_parallel_train_step(inner, mesh))
         return step_cache[budget]
 
     if mesh is not None:
@@ -125,10 +142,19 @@ def train(
 
         n_dev = int(mesh.devices.size)
         batch_sharding = NamedSharding(mesh, P("data"))
-        global_batch = cfg.train.batch_size * n_dev
-        params = replicate(params, mesh)
-        opt_state = replicate(opt_state, mesh)
-        grid_state = replicate(grid_state, mesh)
+        if gspmd:
+            from ..parallel.tp import place_joint_for_gspmd
+
+            global_batch = cfg.train.batch_size * (n_dev // tensor_parallel)
+            params = place_joint_for_gspmd(params, mesh)
+            trainable, _ = partition(params, mask)
+            opt_state = jax.jit(optimizer.init)(trainable)
+            grid_state = replicate(grid_state, mesh)
+        else:
+            global_batch = cfg.train.batch_size * n_dev
+            params = replicate(params, mesh)
+            opt_state = replicate(opt_state, mesh)
+            grid_state = replicate(grid_state, mesh)
     else:
         batch_sharding = None
         global_batch = cfg.train.batch_size

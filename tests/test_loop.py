@@ -143,6 +143,54 @@ def test_train_loop_data_parallel(synthetic_nerf_root, tmp_path):
     assert checked > 0, "no leaf was actually replicated over >1 device"
 
 
+def test_train_loop_tensor_parallel(synthetic_nerf_root, tmp_path):
+    """Drive training.loop.train over a 2-D (data=4 × model=2) GSPMD mesh
+    (--tensor-parallel path): U-Net kernels must come back model-sharded,
+    losses finite."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from stable_nerf_tpu.config import (
+        HashGridConfig, NeRFConfig, SDConfig, TrainConfig,
+    )
+    from stable_nerf_tpu.data.dataset import StableNeRFDataset
+    from stable_nerf_tpu.models.diffusion.sd_network import SDNetworkConfig
+    from stable_nerf_tpu.models.diffusion.unet import tiny_unet_config
+    from stable_nerf_tpu.models.diffusion.vae import VAEConfig
+    from stable_nerf_tpu.training.joint import JointConfig
+    from stable_nerf_tpu.training.loop import train
+
+    cfg = JointConfig(
+        nerf=NeRFConfig(channel_dim=4, grid_size=16,
+                        encoding_sigma=HashGridConfig(n_levels=2,
+                                                      log2_hashmap_size=8,
+                                                      base_resolution=4)),
+        sd=SDNetworkConfig(
+            sd=SDConfig(num_tokens=2, cross_attention_dim=48, latent_size=16,
+                        image_size=32),
+            unet=tiny_unet_config(),
+            vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                          norm_groups=8),
+        ),
+        train=TrainConfig(batch_size=1, max_steps_train=16, max_steps_eval=16,
+                          inference_every=50, checkpoint_every=50),
+    )
+    ds = StableNeRFDataset("nerf", shape=32, encoded_shape=16,
+                           root=synthetic_nerf_root)
+    workdir = str(tmp_path / "work_tp")
+    params, grid_state, history = train(cfg, ds, workdir=workdir, epochs=2,
+                                        tensor_parallel=2,
+                                        log_fn=lambda *a: None)
+
+    assert len(history) == 2
+    for rec in history:
+        assert np.isfinite(rec["train_loss"])
+        assert np.isfinite(rec["val_loss"])
+
+    qk = params["sd"]["unet"]["mid_block"]["attentions"][0]["blocks"][0][
+        "attn1"]["to_q"]["kernel"]
+    assert qk.sharding.spec == P(None, "model")
+
+
 def test_train_loop_auto_budget(synthetic_nerf_root, tmp_path):
     """sample_budget_auto: the loop re-buckets the traced step per
     occupancy refresh (adaptive mean_count emulation) and still trains to

@@ -50,6 +50,11 @@ def build_parser():
                         "occupancy refresh), or omitted for dense")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard_map DP over all local devices")
+    p.add_argument("--tensor-parallel", type=int, default=1,
+                   help="model-axis size for a 2-D (data x model) mesh: "
+                        "U-Net attention/GEGLU kernels + optimizer state "
+                        "shard over it via GSPMD (2/5/10 divide SDXL's "
+                        "heads); 1 = off")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model configs (smoke tests / CI; pairs with "
                         "--image-size 32 --latent-size 16)")
@@ -134,7 +139,8 @@ def main(argv=None):
     from stable_nerf_tpu.training.loop import train
 
     train(cfg, dataset, workdir=workdir, seed=args.seed,
-          pretrained_sd=pretrained, data_parallel=args.data_parallel)
+          pretrained_sd=pretrained, data_parallel=args.data_parallel,
+          tensor_parallel=args.tensor_parallel)
 
 
 def run_inference(cfg, dataset, workdir):
