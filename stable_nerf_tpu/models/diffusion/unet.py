@@ -64,6 +64,11 @@ class UNetConfig:
     # IP-Adapter
     ip_num_tokens: int = 2
     ip_scale: float = 1.0
+    # rematerialize every resnet/transformer block on the backward pass
+    # (jax.checkpoint): trades ~1 extra forward of FLOPs for dropping all
+    # intra-block activations — the standard lever when full-SDXL training
+    # activations outgrow one chip's HBM.
+    remat: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -333,6 +338,15 @@ def _transformer(p, x, context, cfg: UNetConfig, groups, attn_maps=None,
     return residual + y.transpose(0, 2, 1).reshape(n, c, h, w)
 
 
+# Block-granular rematerialization (UNetConfig.remat).  Static argnums:
+# _resnet(p, x, temb, groups) — groups; _transformer(p, x, context, cfg,
+# groups, attn_maps, tp_axis) — cfg/groups/attn_maps/tp_axis (attn_maps must
+# be None under remat: the list-append viz side effect would re-run during
+# the backward recompute and double-append).
+_resnet_remat = jax.checkpoint(_resnet, static_argnums=(3,))
+_transformer_remat = jax.checkpoint(_transformer, static_argnums=(3, 4, 5, 6))
+
+
 def unet_apply(
     params: Dict,
     sample,
@@ -396,33 +410,39 @@ def unet_apply(
     temb = temb + aemb
 
     attn_maps = [] if capture_ip_attn_maps else None
+    # attn-map capture is incompatible with remat (side-effecting append
+    # would re-run in the backward recompute) — capture wins; it's an
+    # eval-time viz mode where remat buys nothing.
+    use_remat = cfg.remat and not capture_ip_attn_maps
+    resnet = _resnet_remat if use_remat else _resnet
+    transformer = _transformer_remat if use_remat else _transformer
     x = conv2d(params["conv_in"], x)
     skips = [x]
     for block in params["down_blocks"]:
         attns = block["attentions"]
         for j, res in enumerate(block["resnets"]):
-            x = _resnet(res, x, temb, g)
+            x = resnet(res, x, temb, g)
             if attns:
-                x = _transformer(attns[j], x, context, cfg, g, attn_maps, tp_axis)
+                x = transformer(attns[j], x, context, cfg, g, attn_maps, tp_axis)
             skips.append(x)
         if "downsample" in block:
             x = conv2d(block["downsample"], x, stride=2, padding=1)
             skips.append(x)
 
     mid = params["mid_block"]
-    x = _resnet(mid["resnets"][0], x, temb, g)
+    x = resnet(mid["resnets"][0], x, temb, g)
     if mid["attentions"]:
-        x = _transformer(mid["attentions"][0], x, context, cfg, g, attn_maps,
-                         tp_axis)
-    x = _resnet(mid["resnets"][1], x, temb, g)
+        x = transformer(mid["attentions"][0], x, context, cfg, g, attn_maps,
+                        tp_axis)
+    x = resnet(mid["resnets"][1], x, temb, g)
 
     for i, block in enumerate(params["up_blocks"]):
         attns = block["attentions"]
         for j, res in enumerate(block["resnets"]):
             skip = skips.pop()
-            x = _resnet(res, jnp.concatenate([x, skip], axis=1), temb, g)
+            x = resnet(res, jnp.concatenate([x, skip], axis=1), temb, g)
             if attns:
-                x = _transformer(attns[j], x, context, cfg, g, attn_maps, tp_axis)
+                x = transformer(attns[j], x, context, cfg, g, attn_maps, tp_axis)
         if "upsample" in block:
             n, c, hh, ww = x.shape
             x = jax.image.resize(x, (n, c, hh * 2, ww * 2), "nearest")

@@ -124,6 +124,27 @@ class TestUNet:
                        added_time_ids=tids, cfg=self.cfg)
         assert not np.allclose(np.asarray(b), np.asarray(c), atol=1e-5)
 
+    def test_remat_matches_plain(self, key):
+        """cfg.remat must change memory, never math: value AND grads equal
+        the non-remat forward/backward bit-for-bit (same ops re-run)."""
+        params = unet_init(key, self.cfg)
+        x = jax.random.normal(key, (2, 4, 8, 8))
+        ehs, pooled, tids = self._cond(key, 2)
+        cfg_r = UNetConfig(**{**self.cfg.__dict__, "remat": True})
+
+        def loss(p, cfg):
+            eps = unet_apply(p, x, 5, ehs, added_text_embeds=pooled,
+                             added_time_ids=tids, cfg=cfg)
+            return jnp.mean(eps ** 2)
+
+        v0, g0 = jax.value_and_grad(loss)(params, self.cfg)
+        v1, g1 = jax.value_and_grad(loss)(params, cfg_r)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_no_ip_params_plain_cross_attention(self, key):
         params = unet_init(key, self.cfg, with_ip=False)
         x = jax.random.normal(key, (1, 4, 8, 8))

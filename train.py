@@ -55,6 +55,10 @@ def build_parser():
                         "U-Net attention/GEGLU kernels + optimizer state "
                         "shard over it via GSPMD (2/5/10 divide SDXL's "
                         "heads); 1 = off")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize U-Net blocks on backward "
+                        "(jax.checkpoint): ~33%% more FLOPs for a fraction "
+                        "of the activation HBM — for full-SDXL training")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model configs (smoke tests / CI; pairs with "
                         "--image-size 32 --latent-size 16)")
@@ -93,6 +97,12 @@ def main(argv=None):
         sd_cfg = SDNetworkConfig(
             sd=SDConfig(latent_size=args.latent_size,
                         image_size=args.image_size))
+
+    if args.remat:
+        import dataclasses
+
+        sd_cfg = dataclasses.replace(
+            sd_cfg, unet=dataclasses.replace(sd_cfg.unet, remat=True))
 
     cfg = JointConfig(
         nerf=nerf_cfg,
