@@ -1,3 +1,8 @@
+from .fsdp import (
+    joint_fsdp_shardings,
+    joint_fsdp_specs,
+    place_joint_for_fsdp,
+)
 from .sharding import (
     barrier,
     make_mesh,
@@ -19,7 +24,10 @@ from .tp import (
 
 __all__ = [
     "barrier",
+    "joint_fsdp_shardings",
+    "joint_fsdp_specs",
     "joint_param_shardings",
+    "place_joint_for_fsdp",
     "make_mesh",
     "make_mesh_2d",
     "make_parallel_train_step",

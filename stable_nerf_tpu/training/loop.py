@@ -55,6 +55,7 @@ def train(
     log_fn=print,
     data_parallel: bool = False,
     tensor_parallel: int = 1,
+    fsdp: bool = False,
     mesh=None,
 ):
     """Run joint training; returns (params, grid_state, metrics_history).
@@ -77,7 +78,12 @@ def train(
     all-reduce.  The reference has no model parallelism; this is the
     TPU-native scale-out for when the 2.6B U-Net (plus optimizer state)
     outgrows one chip's HBM.  Requires tensor_parallel ∈ {2, 5, 10} (head
-    divisibility) and n_devices % tensor_parallel == 0."""
+    divisibility) and n_devices % tensor_parallel == 0.
+
+    With ``fsdp=True`` the SD param tree (and its AdamW moments) is
+    additionally sharded over the ``data`` axis (ZeRO-3 via GSPMD,
+    parallel/fsdp.py) — composable with ``tensor_parallel`` for 2-D
+    FSDP × TP."""
     os.makedirs(workdir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
     k_sd, k_nerf, key = jax.random.split(key, 3)
@@ -116,12 +122,12 @@ def train(
     trainable, _ = partition(params, mask)
     opt_state = optimizer.init(trainable)
 
-    gspmd = tensor_parallel > 1
-    if gspmd and mesh is None:
+    gspmd = tensor_parallel > 1 or fsdp
+    if tensor_parallel > 1 and mesh is None:
         from ..parallel.tp import make_mesh_2d
 
         mesh = make_mesh_2d(tp=tensor_parallel)
-    elif data_parallel and mesh is None:
+    elif (data_parallel or fsdp) and mesh is None:
         mesh = make_mesh()
     step_cache = {}
 
@@ -143,10 +149,17 @@ def train(
         n_dev = int(mesh.devices.size)
         batch_sharding = NamedSharding(mesh, P("data"))
         if gspmd:
-            from ..parallel.tp import place_joint_for_gspmd
-
             global_batch = cfg.train.batch_size * (n_dev // tensor_parallel)
-            params = place_joint_for_gspmd(params, mesh)
+            if fsdp:
+                from ..parallel.fsdp import place_joint_for_fsdp
+
+                params = place_joint_for_fsdp(
+                    params, mesh,
+                    tp_axis="model" if tensor_parallel > 1 else None)
+            else:
+                from ..parallel.tp import place_joint_for_gspmd
+
+                params = place_joint_for_gspmd(params, mesh)
             trainable, _ = partition(params, mask)
             opt_state = jax.jit(optimizer.init)(trainable)
             grid_state = replicate(grid_state, mesh)

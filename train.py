@@ -55,6 +55,10 @@ def build_parser():
                         "U-Net attention/GEGLU kernels + optimizer state "
                         "shard over it via GSPMD (2/5/10 divide SDXL's "
                         "heads); 1 = off")
+    p.add_argument("--fsdp", action="store_true",
+                   help="fully-shard the SD params + AdamW moments over the "
+                        "data axis (ZeRO-3 via GSPMD); composes with "
+                        "--tensor-parallel for a 2-D FSDP x TP mesh")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize U-Net blocks on backward "
                         "(jax.checkpoint): ~33%% more FLOPs for a fraction "
@@ -150,7 +154,7 @@ def main(argv=None):
 
     train(cfg, dataset, workdir=workdir, seed=args.seed,
           pretrained_sd=pretrained, data_parallel=args.data_parallel,
-          tensor_parallel=args.tensor_parallel)
+          tensor_parallel=args.tensor_parallel, fsdp=args.fsdp)
 
 
 def run_inference(cfg, dataset, workdir):
