@@ -204,10 +204,11 @@ def bench_sd_denoise(n_steps: int = 10):
     return 1.0 / dt_step, dt_step * 1e3, mfu
 
 
-def bench_joint_step():
+def bench_joint_step(stochastic: bool = False):
     """One jitted joint train step (full NeRF + tiny SD + AdamW) at the
     round-1 recorded configuration: 1 sample × 2 views × 64² latent rays =
-    8192 rays, max_steps 256, 2^18 sample budget."""
+    8192 rays, max_steps 256, 2^18 sample budget.  ``stochastic`` switches
+    the NeRF hash encode to the unbiased one-corner fast mode."""
     import jax
     import jax.numpy as jnp
 
@@ -228,7 +229,7 @@ def bench_joint_step():
     from stable_nerf_tpu.utils.pytree import partition
 
     cfg = JointConfig(
-        nerf=NeRFConfig(channel_dim=4),
+        nerf=NeRFConfig(channel_dim=4, hash_stochastic=stochastic),
         sd=SDNetworkConfig(
             sd=SDConfig(latent_size=64, image_size=128,
                         cross_attention_dim=48),
@@ -320,6 +321,13 @@ def main():
             log(f"  {joint_ms:.0f} ms ({extras['joint_rays_per_sec']:.0f} rays/s)")
         except Exception as e:
             log(f"  joint step bench failed: {e}")
+        try:
+            log("bench: joint train step (stochastic fast mode)…")
+            joint_fast_ms = bench_joint_step(stochastic=True)
+            extras["joint_step_ms_stochastic"] = round(joint_fast_ms, 1)
+            log(f"  {joint_fast_ms:.0f} ms")
+        except Exception as e:
+            log(f"  stochastic joint step bench failed: {e}")
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_baseline.json")
     vs = 1.0

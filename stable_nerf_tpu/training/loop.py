@@ -57,6 +57,7 @@ def train(
     tensor_parallel: int = 1,
     fsdp: bool = False,
     mesh=None,
+    resume: bool = False,
 ):
     """Run joint training; returns (params, grid_state, metrics_history).
 
@@ -83,7 +84,14 @@ def train(
     With ``fsdp=True`` the SD param tree (and its AdamW moments) is
     additionally sharded over the ``data`` axis (ZeRO-3 via GSPMD,
     parallel/fsdp.py) — composable with ``tensor_parallel`` for 2-D
-    FSDP × TP."""
+    FSDP × TP.
+
+    With ``resume=True`` the latest checkpoint under ``workdir`` (if any)
+    is restored — params, optimizer state, occupancy grid, and epoch —
+    and training continues from the recorded epoch (the capability the
+    reference lacks entirely: it pickles once at the very end,
+    reference train.py:303-308).  Restore happens before mesh placement,
+    so resuming works under DP/TP/FSDP too."""
     os.makedirs(workdir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
     k_sd, k_nerf, key = jax.random.split(key, 3)
@@ -121,6 +129,22 @@ def train(
     optimizer = make_optimizer(cfg.train)
     trainable, _ = partition(params, mask)
     opt_state = optimizer.init(trainable)
+
+    ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+    start_epoch = 0
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(template={
+            "params": params, "opt_state": opt_state,
+            "grid_state": grid_state, "extra": {"epoch": 0}})
+        # to-host: restored leaves must be uncommitted so the mesh
+        # placement below (or the jitted step's GSPMD layout) decides
+        # where they live
+        state = jax.tree.map(np.asarray, state)
+        params, opt_state = state["params"], state["opt_state"]
+        grid_state = state["grid_state"]
+        start_epoch = int(state["extra"].get("epoch", 0))
+        log_fn(f"resumed from checkpoint step {ckpt.latest_step()} "
+               f"(epoch {start_epoch})")
 
     gspmd = tensor_parallel > 1 or fsdp
     if tensor_parallel > 1 and mesh is None:
@@ -161,7 +185,13 @@ def train(
 
                 params = place_joint_for_gspmd(params, mesh)
             trainable, _ = partition(params, mask)
-            opt_state = jax.jit(optimizer.init)(trainable)
+            if start_epoch == 0:
+                opt_state = jax.jit(optimizer.init)(trainable)
+            # else: keep the restored opt state as-is — its arrays are
+            # uncommitted host values, so the GSPMD-jitted step is free to
+            # lay them out with the partitioner's chosen shardings
+            # (committing them ourselves would pin them to one device and
+            # conflict with the mesh-committed params)
             grid_state = replicate(grid_state, mesh)
         else:
             global_batch = cfg.train.batch_size * n_dev
@@ -184,7 +214,6 @@ def train(
         lambda s, p, k: update_extra_state(s, density_fn(p), k, cfg.nerf)
     )
 
-    ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
     tr_idx, va_idx, te_idx = split_dataset(len(dataset), 0.8, 0.1, seed=seed)
     if mesh is not None and jax.process_count() > 1:
         tr_idx = tr_idx[process_shard_indices(len(tr_idx))]
@@ -197,7 +226,7 @@ def train(
     # encoded resolution (reference train.py:61-66)
     rays_per_step = 2 * cfg.train.batch_size * cfg.latent_hw ** 2
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         key, k_grid = jax.random.split(key)
         grid_state = update_fn(grid_state, params, k_grid)
         if cfg.train.sample_budget_auto:

@@ -82,6 +82,61 @@ def test_train_loop_end_to_end(synthetic_nerf_root, tmp_path):
     assert int(grid_state.iter_density) == 2
 
 
+def test_train_loop_resume(synthetic_nerf_root, tmp_path):
+    """Interrupt-and-resume (the capability the reference lacks,
+    train.py:303-308): train 2 epochs, resume to 4 — the second call must
+    restore params/opt/grid/epoch and run exactly epochs 2..3."""
+    from stable_nerf_tpu.config import (
+        HashGridConfig, NeRFConfig, SDConfig, TrainConfig,
+    )
+    from stable_nerf_tpu.data.dataset import StableNeRFDataset
+    from stable_nerf_tpu.models.diffusion.sd_network import SDNetworkConfig
+    from stable_nerf_tpu.models.diffusion.unet import tiny_unet_config
+    from stable_nerf_tpu.models.diffusion.vae import VAEConfig
+    from stable_nerf_tpu.training.joint import JointConfig
+    from stable_nerf_tpu.training.loop import train
+
+    cfg = JointConfig(
+        nerf=NeRFConfig(channel_dim=4, grid_size=16,
+                        encoding_sigma=HashGridConfig(n_levels=2,
+                                                      log2_hashmap_size=8,
+                                                      base_resolution=4)),
+        sd=SDNetworkConfig(
+            sd=SDConfig(num_tokens=2, cross_attention_dim=48, latent_size=16,
+                        image_size=32),
+            unet=tiny_unet_config(),
+            vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                          norm_groups=8),
+        ),
+        train=TrainConfig(batch_size=2, max_steps_train=16, max_steps_eval=16,
+                          inference_every=50, checkpoint_every=1),
+    )
+    ds = StableNeRFDataset("nerf", shape=32, encoded_shape=16,
+                           root=synthetic_nerf_root)
+    workdir = str(tmp_path / "work_resume")
+    _, grid1, hist1 = train(cfg, ds, workdir=workdir, epochs=2,
+                            log_fn=lambda *a: None)
+    assert int(grid1.iter_density) == 2
+
+    logs = []
+    params, grid2, hist2 = train(cfg, ds, workdir=workdir, epochs=4,
+                                 resume=True, log_fn=logs.append)
+    assert any("resumed from checkpoint" in str(m) for m in logs)
+    # only the remaining epochs ran, numbered continuously
+    assert [r["epoch"] for r in hist2] == [2, 3]
+    for rec in hist2:
+        assert np.isfinite(rec["train_loss"])
+    # grid refresh count carried over and kept advancing (2 + 2 more)
+    assert int(grid2.iter_density) == 4
+    # metrics JSONL accumulated across both runs
+    lines = open(os.path.join(workdir, "metrics.jsonl")).read().splitlines()
+    assert [json.loads(l)["epoch"] for l in lines] == [0, 1, 2, 3]
+    # resume with nothing left to do: no epochs run, instant return
+    _, _, hist3 = train(cfg, ds, workdir=workdir, epochs=4, resume=True,
+                        log_fn=lambda *a: None)
+    assert hist3 == []
+
+
 def test_train_loop_data_parallel(synthetic_nerf_root, tmp_path):
     """Drive training.loop.train itself over the 8-virtual-device mesh
     (VERDICT round-1 item 3): params must come back fully replicated and

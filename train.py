@@ -63,6 +63,10 @@ def build_parser():
                    help="rematerialize U-Net blocks on backward "
                         "(jax.checkpoint): ~33%% more FLOPs for a fraction "
                         "of the activation HBM — for full-SDXL training")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint under --workdir "
+                        "(params + optimizer + occupancy grid + epoch) and "
+                        "continue training from there")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model configs (smoke tests / CI; pairs with "
                         "--image-size 32 --latent-size 16)")
@@ -154,7 +158,8 @@ def main(argv=None):
 
     train(cfg, dataset, workdir=workdir, seed=args.seed,
           pretrained_sd=pretrained, data_parallel=args.data_parallel,
-          tensor_parallel=args.tensor_parallel, fsdp=args.fsdp)
+          tensor_parallel=args.tensor_parallel, fsdp=args.fsdp,
+          resume=args.resume)
 
 
 def run_inference(cfg, dataset, workdir):
