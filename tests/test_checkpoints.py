@@ -40,6 +40,34 @@ def test_save_restore_roundtrip(tmp_path, key):
     mgr.close()
 
 
+def test_sharded_save_single_device_restore(tmp_path, key):
+    """Checkpoint portability across sharding modes: params saved while
+    sharded over the 8-device mesh (the TP/FSDP training states) must
+    restore into a single-device template bit-identically — the
+    train-sharded → infer-anywhere path."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    w = jax.device_put(jax.random.normal(key, (16, 8)),
+                       NamedSharding(mesh, P("data", None)))
+    b = jax.device_put(jax.random.normal(key, (8,)),
+                       NamedSharding(mesh, P()))
+    params = {"w": w, "b": b}
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, params, None, None, extra={"epoch": 1}, wait=True)
+
+    template = {"params": {"w": jnp.zeros((16, 8)), "b": jnp.zeros((8,))},
+                "opt_state": None, "grid_state": None,
+                "extra": {"epoch": 0}}
+    restored = mgr.restore(template=template)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.asarray(w))
+    np.testing.assert_array_equal(np.asarray(restored["params"]["b"]),
+                                  np.asarray(b))
+    mgr.close()
+
+
 def test_max_to_keep_evicts(tmp_path, key):
     cfg = NeRFConfig(grid_size=16,
                      encoding_sigma=HashGridConfig(n_levels=2,

@@ -63,6 +63,13 @@ def build_parser():
                    help="rematerialize U-Net blocks on backward "
                         "(jax.checkpoint): ~33%% more FLOPs for a fraction "
                         "of the activation HBM — for full-SDXL training")
+    p.add_argument("--stochastic", action="store_true",
+                   help="unbiased one-corner hash-encode fast train mode "
+                        "(3.8x faster joint step measured; eval renders "
+                        "stay exact)")
+    p.add_argument("--stochastic-min-level", type=int, default=0,
+                   help="with --stochastic: keep levels < this exact "
+                        "(hybrid mode; coarse levels are cache-cheap)")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint under --workdir "
                         "(params + optimizer + occupancy grid + epoch) and "
@@ -106,11 +113,15 @@ def main(argv=None):
             sd=SDConfig(latent_size=args.latent_size,
                         image_size=args.image_size))
 
-    if args.remat:
-        import dataclasses
+    import dataclasses
 
+    if args.remat:
         sd_cfg = dataclasses.replace(
             sd_cfg, unet=dataclasses.replace(sd_cfg.unet, remat=True))
+    if args.stochastic:
+        nerf_cfg = dataclasses.replace(
+            nerf_cfg, hash_stochastic=True,
+            hash_stochastic_min_level=args.stochastic_min_level)
 
     cfg = JointConfig(
         nerf=nerf_cfg,
