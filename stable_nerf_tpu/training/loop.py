@@ -132,19 +132,27 @@ def train(
 
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
     start_epoch = 0
-    if resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(template={
-            "params": params, "opt_state": opt_state,
-            "grid_state": grid_state, "extra": {"epoch": 0}})
-        # to-host: restored leaves must be uncommitted so the mesh
-        # placement below (or the jitted step's GSPMD layout) decides
-        # where they live
-        state = jax.tree.map(np.asarray, state)
-        params, opt_state = state["params"], state["opt_state"]
-        grid_state = state["grid_state"]
-        start_epoch = int(state["extra"].get("epoch", 0))
-        log_fn(f"resumed from checkpoint step {ckpt.latest_step()} "
-               f"(epoch {start_epoch})")
+    resumed = False
+    if resume:
+        if ckpt.latest_step() is None:
+            log_fn(f"WARNING: resume requested but no checkpoint found "
+                   f"under {workdir}/checkpoints — starting from scratch")
+        else:
+            state = ckpt.restore(template={
+                "params": params, "opt_state": opt_state,
+                "grid_state": grid_state, "extra": {"epoch": 0}})
+            # to-host: restored leaves must be uncommitted so the mesh
+            # placement below (or the jitted step's GSPMD layout) decides
+            # where they live.  (Known single-host-scale limitation: this
+            # materializes the full state on the host; a multi-host FSDP
+            # resume should instead restore through a sharded template.)
+            state = jax.tree.map(np.asarray, state)
+            params, opt_state = state["params"], state["opt_state"]
+            grid_state = state["grid_state"]
+            start_epoch = int(state["extra"].get("epoch", 0))
+            resumed = True
+            log_fn(f"resumed from checkpoint step {ckpt.latest_step()} "
+                   f"(epoch {start_epoch})")
 
     gspmd = tensor_parallel > 1 or fsdp
     if tensor_parallel > 1 and mesh is None:
@@ -185,7 +193,7 @@ def train(
 
                 params = place_joint_for_gspmd(params, mesh)
             trainable, _ = partition(params, mask)
-            if start_epoch == 0:
+            if not resumed:
                 opt_state = jax.jit(optimizer.init)(trainable)
             # else: keep the restored opt state as-is — its arrays are
             # uncommitted host values, so the GSPMD-jitted step is free to
@@ -225,6 +233,12 @@ def train(
     # each train step renders 2 views (target+ref) per sample at the
     # encoded resolution (reference train.py:61-66)
     rays_per_step = 2 * cfg.train.batch_size * cfg.latent_hw ** 2
+
+    if start_epoch:
+        # decorrelate the resumed key stream from the epochs already run
+        # (otherwise epochs start_epoch.. replay epoch 0..'s exact noise /
+        # timestep / perturbation draws)
+        key = jax.random.fold_in(key, start_epoch)
 
     for epoch in range(start_epoch, epochs):
         key, k_grid = jax.random.split(key)
@@ -276,17 +290,24 @@ def train(
                f"val {record['val_loss']:.4f} "
                f"({record['rays_per_sec']:.0f} rays/s)")
 
-        if (epoch + 1) % cfg.train.inference_every == 0 and len(te_idx) > 0:
+        if (cfg.train.inference_every > 0
+                and (epoch + 1) % cfg.train.inference_every == 0
+                and len(te_idx) > 0):
             for i, batch in enumerate(iterate(dataset, te_idx, 2)):
                 key, k_step = jax.random.split(key)
                 out = infer_fn(params, grid_state, batch, k_step)
                 log_fn(f"  inference[{i}]: psnr={np.mean(np.asarray(out['psnr'])):.2f} "
                        f"ssim={float(out['ssim']):.3f} l2={float(out['l2_loss']):.4f}")
 
-        if (epoch + 1) % cfg.train.checkpoint_every == 0:
+        if (cfg.train.checkpoint_every > 0
+                and (epoch + 1) % cfg.train.checkpoint_every == 0):
             ckpt.save(epoch + 1, params, opt_state, grid_state,
                       extra={"epoch": epoch + 1})
 
-    ckpt.save(epochs, params, opt_state, grid_state, extra={"epoch": epochs},
-              wait=True)
+    if epochs > start_epoch:
+        # skip when no epoch ran: a resume with nothing left to do must not
+        # rewrite (or, with epochs < the recorded epoch, mislabel) the
+        # checkpoint it just restored
+        ckpt.save(epochs, params, opt_state, grid_state,
+                  extra={"epoch": epochs}, wait=True)
     return params, grid_state, history

@@ -1,5 +1,7 @@
 """VAE / U-Net / SDNetwork structural and semantic tests (tiny configs)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -130,7 +132,7 @@ class TestUNet:
         params = unet_init(key, self.cfg)
         x = jax.random.normal(key, (2, 4, 8, 8))
         ehs, pooled, tids = self._cond(key, 2)
-        cfg_r = UNetConfig(**{**self.cfg.__dict__, "remat": True})
+        cfg_r = dataclasses.replace(self.cfg, remat=True)
 
         def loss(p, cfg):
             eps = unet_apply(p, x, 5, ehs, added_text_embeds=pooled,

@@ -109,7 +109,8 @@ def test_train_loop_resume(synthetic_nerf_root, tmp_path):
                           norm_groups=8),
         ),
         train=TrainConfig(batch_size=2, max_steps_train=16, max_steps_eval=16,
-                          inference_every=50, checkpoint_every=1),
+                          inference_every=0,   # 0 = disabled (regression: must not ZeroDivide)
+                          checkpoint_every=1),
     )
     ds = StableNeRFDataset("nerf", shape=32, encoded_shape=16,
                            root=synthetic_nerf_root)

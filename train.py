@@ -85,6 +85,10 @@ def main(argv=None):
 
     from datetime import datetime
 
+    if args.resume and not args.workdir:
+        sys.exit("--resume requires --workdir (the run directory whose "
+                 "checkpoints to continue from); without it a fresh "
+                 "timestamped workdir would silently restart from scratch")
     workdir = args.workdir or f"output_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
 
     from stable_nerf_tpu.config import NeRFConfig, SDConfig, TrainConfig
