@@ -80,6 +80,71 @@ def sdpa(q, k, v):
     return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
 
 
+def ring_sdpa(q, k, v, axis: str):
+    """Sequence-parallel SDPA over a named mesh axis (ring attention).
+
+    Call under ``shard_map`` with the SEQUENCE dimension sharded over
+    ``axis``: ``q``/``k``/``v`` are this device's [B, H, S/n, D] token
+    blocks.  Computes the exact softmax(q·kᵀ)·v of the local queries
+    against the FULL sequence by rotating the k/v blocks one hop around
+    the ring (`lax.ppermute` — each hop rides one adjacent-chip ICI link)
+    while folding them into flash-style online-softmax accumulators
+    (running max ``m``, normalizer ``l``, weighted value sum ``acc``, all
+    float32).  Returns the local [B, H, S/n, D] output block; n·(n-1)/n of
+    the logits never materialize on any one device, so both the O(S²)
+    logits memory and the attention FLOPs shard n-ways.
+
+    Matches ``sdpa``'s dtype rules: bf16 operands hit the bf16 MXU with
+    f32 logit/output accumulation; f32 stays f32 throughout.  Semantically
+    identical to ``sdpa`` on the gathered sequence (exact softmax, not an
+    approximation); bitwise it differs only by the online-softmax
+    re-association.  Single-device axes fall back to ``sdpa``.
+
+    This is the rebuild's sequence-parallelism primitive — the reference
+    has no model/sequence parallelism at all (HF Accelerate only
+    data-parallelizes, reference train.py:122-126); its attention core is
+    torch SDPA (attention_processor.py:371-373).
+    """
+    n = jax.lax.axis_size(axis)
+    if n == 1:
+        return sdpa(q, k, v)
+    scale = q.shape[-1] ** -0.5
+    perm = [(j, (j + 1) % n) for j in range(n)]
+    qs = (q * scale).astype(q.dtype)
+    B, H, Sq, D = q.shape
+
+    def logits_of(k_blk):
+        if q.dtype == jnp.bfloat16:
+            return jnp.einsum("bhqd,bhkd->bhqk", qs, k_blk,
+                              preferred_element_type=jnp.float32)
+        return jnp.einsum("bhqd,bhkd->bhqk", qs.astype(jnp.float32),
+                          k_blk.astype(jnp.float32))
+
+    def fold(carry, _):
+        k_blk, v_blk, m, l, acc = carry
+        s = logits_of(k_blk)                                   # [B,H,Sq,Sk] f32
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        pv = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_blk.dtype), v_blk,
+                        preferred_element_type=jnp.float32)
+        acc = acc * corr[..., None] + pv
+        k_blk = jax.lax.ppermute(k_blk, axis, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis, perm)
+        return (k_blk, v_blk, m_new, l, acc), None
+
+    # accumulator inits are device-varying over the ring axis (shard_map's
+    # vma type system requires the scan carry to stay varying)
+    var = lambda x: jax.lax.pcast(x, (axis,), to="varying")
+    init = (k, v,
+            var(jnp.full((B, H, Sq), -jnp.inf, jnp.float32)),
+            var(jnp.zeros((B, H, Sq), jnp.float32)),
+            var(jnp.zeros((B, H, Sq, D), jnp.float32)))
+    (_, _, _, l, acc), _ = jax.lax.scan(fold, init, None, length=n)
+    return (acc / l[..., None]).astype(v.dtype)
+
+
 def split_heads(x, n_heads: int):
     b, s, d = x.shape
     return x.reshape(b, s, n_heads, d // n_heads).transpose(0, 2, 1, 3)

@@ -38,6 +38,7 @@ from .nn import (
     layer_norm,
     linear,
     merge_heads,
+    ring_sdpa,
     sdpa,
     silu,
     split_heads,
@@ -269,13 +270,18 @@ def _reduce_proj(p, x, tp_axis):
 
 
 def _attention(p, x, context, head_dim, ip_tokens: int, ip_scale: float,
-               attn_maps=None, tp_axis=None):
+               attn_maps=None, tp_axis=None, sp_axis=None):
     """SDPA attention; two-stream IP split when `to_k_ip` present and the
     layer is cross-attention (attention_processor.py:282-412).
 
     The head count is derived from the (possibly tensor-parallel-sharded)
     `to_q` kernel width, so under a `model` mesh axis each shard runs its
     local head group and the row-parallel `to_out` psums the partials.
+
+    With ``sp_axis`` the token dim of ``x`` is a per-device sequence block
+    (sliced by ``_transformer``): self-attention runs ``ring_sdpa`` so the
+    local queries see the full rotated k/v sequence; cross-attention needs
+    no collective at all (its k/v come from the replicated ``context``).
 
     When ``attn_maps`` is a list, the ip-stream attention probabilities
     softmax(s·q·k_ipᵀ) are appended to it — the reference's
@@ -289,7 +295,8 @@ def _attention(p, x, context, head_dim, ip_tokens: int, ip_scale: float,
         ctx = x
         k = split_heads(linear(p["to_k"], ctx), n_heads)
         v = split_heads(linear(p["to_v"], ctx), n_heads)
-        out = merge_heads(sdpa(q, k, v))
+        out = merge_heads(ring_sdpa(q, k, v, sp_axis) if sp_axis is not None
+                          else sdpa(q, k, v))
     elif "to_k_ip" in p and ip_tokens > 0:
         end = context.shape[1] - ip_tokens
         text_ctx, ip_ctx = context[:, :end], context[:, end:]
@@ -307,6 +314,8 @@ def _attention(p, x, context, head_dim, ip_tokens: int, ip_scale: float,
             probs = jax.nn.softmax(logits, axis=-1)
             if tp_axis is not None:        # reassemble the full head axis
                 probs = jax.lax.all_gather(probs, tp_axis, axis=1, tiled=True)
+            if sp_axis is not None:        # reassemble the full query axis
+                probs = jax.lax.all_gather(probs, sp_axis, axis=2, tiled=True)
             attn_maps.append(probs)
     else:
         k = split_heads(linear(p["to_k"], context), n_heads)
@@ -316,18 +325,34 @@ def _attention(p, x, context, head_dim, ip_tokens: int, ip_scale: float,
 
 
 def _transformer(p, x, context, cfg: UNetConfig, groups, attn_maps=None,
-                 tp_axis=None):
+                 tp_axis=None, sp_axis=None):
+    """Spatial transformer stack.  With ``sp_axis`` the whole interior runs
+    sequence-parallel: each device keeps only its S/n token block (proj_in,
+    layer norms, GEGLU and the projections are per-token; self-attention
+    rotates k/v via ``ring_sdpa``; cross-attention k/v are replicated), and
+    the full token axis is reassembled with one tiled all_gather after
+    proj_out — the only sequence collective besides the ring itself."""
     n, c, h, w = x.shape
     residual = x
     y = group_norm(p["norm"], x, groups, eps=1e-6)
     y = y.reshape(n, c, h * w).transpose(0, 2, 1)
+    if sp_axis is not None:
+        sp = jax.lax.axis_size(sp_axis)
+        seq = h * w
+        if seq % sp:
+            raise ValueError(
+                f"sequence length {seq} ({h}x{w} latent tokens) not divisible "
+                f"by sequence-parallel axis size {sp}")
+        i = jax.lax.axis_index(sp_axis)
+        y = jax.lax.dynamic_slice_in_dim(y, i * (seq // sp), seq // sp, 1)
     y = linear(p["proj_in"], y)
     for blk in p["blocks"]:
         y = y + _attention(blk["attn1"], layer_norm(blk["norm1"], y), None,
-                           cfg.head_dim, 0, 0.0, tp_axis=tp_axis)
+                           cfg.head_dim, 0, 0.0, tp_axis=tp_axis,
+                           sp_axis=sp_axis)
         y = y + _attention(blk["attn2"], layer_norm(blk["norm2"], y), context,
                            cfg.head_dim, cfg.ip_num_tokens, cfg.ip_scale,
-                           attn_maps, tp_axis=tp_axis)
+                           attn_maps, tp_axis=tp_axis, sp_axis=sp_axis)
         z = layer_norm(blk["norm3"], y)
         z = linear(blk["ff_geglu"], z)
         val, gate = jnp.split(z, 2, axis=-1)     # diffusers GEGLU order
@@ -335,16 +360,19 @@ def _transformer(p, x, context, cfg: UNetConfig, groups, attn_maps=None,
                          val * jax.nn.gelu(gate, approximate=False), tp_axis)
         y = y + z
     y = linear(p["proj_out"], y)
+    if sp_axis is not None:
+        y = jax.lax.all_gather(y, sp_axis, axis=1, tiled=True)
     return residual + y.transpose(0, 2, 1).reshape(n, c, h, w)
 
 
 # Block-granular rematerialization (UNetConfig.remat).  Static argnums:
 # _resnet(p, x, temb, groups) — groups; _transformer(p, x, context, cfg,
-# groups, attn_maps, tp_axis) — cfg/groups/attn_maps/tp_axis (attn_maps must
-# be None under remat: the list-append viz side effect would re-run during
-# the backward recompute and double-append).
+# groups, attn_maps, tp_axis, sp_axis) — cfg/groups/attn_maps/tp_axis/sp_axis
+# (attn_maps must be None under remat: the list-append viz side effect would
+# re-run during the backward recompute and double-append).
 _resnet_remat = jax.checkpoint(_resnet, static_argnums=(3,))
-_transformer_remat = jax.checkpoint(_transformer, static_argnums=(3, 4, 5, 6))
+_transformer_remat = jax.checkpoint(_transformer,
+                                    static_argnums=(3, 4, 5, 6, 7))
 
 
 def unet_apply(
@@ -359,6 +387,7 @@ def unet_apply(
     compute_dtype=jnp.float32,
     capture_ip_attn_maps: bool = False,
     tp_axis: Optional[str] = None,
+    sp_axis: Optional[str] = None,
 ):
     """Predict noise.
 
@@ -379,6 +408,15 @@ def unet_apply(
         per ``parallel.tp.unet_tp_specs`` and GEGLU kernels pre-permuted by
         ``parallel.tp.permute_unet_for_tp``; activations stay replicated
         and each psum rides the ICI ring.  None = single-shard math.
+
+      sp_axis: mesh axis name for sequence (context) parallelism.  Call
+        under `shard_map` with params and inputs replicated over it: every
+        transformer interior then keeps only S/n latent tokens per device
+        (self-attention via ``ring_sdpa``, one tiled all_gather per
+        transformer to reassemble).  Composes with ``tp_axis`` on a 3-D
+        (data × seq × model) mesh — heads split over `model`, tokens over
+        `seq`.  Worth it when the token count is large (high-res latents);
+        at 64² latents the convs dominate and DP/TP are the better axes.
 
     Returns: [B, 4, h, w] epsilon prediction — or
     ``(eps, {"ip_attn_maps": [[B, H, S, ip_tokens] f32, ...]})`` when
@@ -423,7 +461,8 @@ def unet_apply(
         for j, res in enumerate(block["resnets"]):
             x = resnet(res, x, temb, g)
             if attns:
-                x = transformer(attns[j], x, context, cfg, g, attn_maps, tp_axis)
+                x = transformer(attns[j], x, context, cfg, g, attn_maps,
+                                tp_axis, sp_axis)
             skips.append(x)
         if "downsample" in block:
             x = conv2d(block["downsample"], x, stride=2, padding=1)
@@ -433,7 +472,7 @@ def unet_apply(
     x = resnet(mid["resnets"][0], x, temb, g)
     if mid["attentions"]:
         x = transformer(mid["attentions"][0], x, context, cfg, g, attn_maps,
-                        tp_axis)
+                        tp_axis, sp_axis)
     x = resnet(mid["resnets"][1], x, temb, g)
 
     for i, block in enumerate(params["up_blocks"]):
@@ -442,7 +481,8 @@ def unet_apply(
             skip = skips.pop()
             x = resnet(res, jnp.concatenate([x, skip], axis=1), temb, g)
             if attns:
-                x = transformer(attns[j], x, context, cfg, g, attn_maps, tp_axis)
+                x = transformer(attns[j], x, context, cfg, g, attn_maps,
+                                tp_axis, sp_axis)
         if "upsample" in block:
             n, c, hh, ww = x.shape
             x = jax.image.resize(x, (n, c, hh * 2, ww * 2), "nearest")

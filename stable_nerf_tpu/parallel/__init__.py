@@ -11,6 +11,11 @@ from .sharding import (
     replicate,
     shard_batch,
 )
+from .sp import (
+    make_mesh_3d,
+    make_sp_unet_apply,
+    ring_sdpa,
+)
 from .tp import (
     joint_param_shardings,
     make_mesh_2d,
@@ -30,12 +35,15 @@ __all__ = [
     "place_joint_for_fsdp",
     "make_mesh",
     "make_mesh_2d",
+    "make_mesh_3d",
+    "make_sp_unet_apply",
     "make_parallel_train_step",
     "make_tp_unet_apply",
     "permute_unet_for_tp",
     "place_joint_for_gspmd",
     "process_shard_indices",
     "replicate",
+    "ring_sdpa",
     "shard_batch",
     "shard_unet_for_tp",
     "unet_tp_shardings",
