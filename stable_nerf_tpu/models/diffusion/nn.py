@@ -120,8 +120,7 @@ def ring_sdpa(q, k, v, axis: str):
         return jnp.einsum("bhqd,bhkd->bhqk", qs.astype(jnp.float32),
                           k_blk.astype(jnp.float32))
 
-    def fold(carry, _):
-        k_blk, v_blk, m, l, acc = carry
+    def fold(k_blk, v_blk, m, l, acc):
         s = logits_of(k_blk)                                   # [B,H,Sq,Sk] f32
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
@@ -130,18 +129,27 @@ def ring_sdpa(q, k, v, axis: str):
         pv = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_blk.dtype), v_blk,
                         preferred_element_type=jnp.float32)
         acc = acc * corr[..., None] + pv
+        return m_new, l, acc
+
+    def rotate_and_fold(carry, _):
+        k_blk, v_blk, m, l, acc = carry
         k_blk = jax.lax.ppermute(k_blk, axis, perm)
         v_blk = jax.lax.ppermute(v_blk, axis, perm)
-        return (k_blk, v_blk, m_new, l, acc), None
+        m, l, acc = fold(k_blk, v_blk, m, l, acc)
+        return (k_blk, v_blk, m, l, acc), None
 
-    # accumulator inits are device-varying over the ring axis (shard_map's
-    # vma type system requires the scan carry to stay varying)
+    # fold the resident block first, then rotate-and-fold the other n-1 —
+    # n-1 hops total (a fold-then-rotate loop would pay a useless n-th
+    # ppermute returning every block home).  Accumulator inits are
+    # device-varying over the ring axis (shard_map's vma type system
+    # requires the scan carry to stay varying).
     var = lambda x: jax.lax.pcast(x, (axis,), to="varying")
-    init = (k, v,
-            var(jnp.full((B, H, Sq), -jnp.inf, jnp.float32)),
-            var(jnp.zeros((B, H, Sq), jnp.float32)),
-            var(jnp.zeros((B, H, Sq, D), jnp.float32)))
-    (_, _, _, l, acc), _ = jax.lax.scan(fold, init, None, length=n)
+    m, l, acc = fold(k, v,
+                     var(jnp.full((B, H, Sq), -jnp.inf, jnp.float32)),
+                     var(jnp.zeros((B, H, Sq), jnp.float32)),
+                     var(jnp.zeros((B, H, Sq, D), jnp.float32)))
+    (_, _, _, l, acc), _ = jax.lax.scan(rotate_and_fold, (k, v, m, l, acc),
+                                        None, length=n - 1)
     return (acc / l[..., None]).astype(v.dtype)
 
 
