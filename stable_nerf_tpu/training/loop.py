@@ -130,22 +130,74 @@ def train(
     trainable, _ = partition(params, mask)
     opt_state = optimizer.init(trainable)
 
+    gspmd = tensor_parallel > 1 or fsdp
+    if tensor_parallel > 1 and mesh is None:
+        from ..parallel.tp import make_mesh_2d
+
+        mesh = make_mesh_2d(tp=tensor_parallel)
+    elif (data_parallel or fsdp) and mesh is None:
+        mesh = make_mesh()
+
+    def place_for_gspmd(p):
+        if fsdp:
+            from ..parallel.fsdp import place_joint_for_fsdp
+
+            return place_joint_for_fsdp(
+                p, mesh, tp_axis="model" if tensor_parallel > 1 else None)
+        from ..parallel.tp import place_joint_for_gspmd
+
+        return place_joint_for_gspmd(p, mesh)
+
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
     start_epoch = 0
     resumed = False
+    placed = False
     if resume:
         if ckpt.latest_step() is None:
             log_fn(f"WARNING: resume requested but no checkpoint found "
                    f"under {workdir}/checkpoints — starting from scratch")
+        elif gspmd:
+            # restore straight into the production shardings: materialize
+            # the placed (zero-step) state once to learn the target layout
+            # (params via the TP/FSDP placement rules, optimizer moments via
+            # the jitted init's propagated shardings), then hand orbax a
+            # ShapeDtypeStruct+sharding template so each host reads only its
+            # own shards — no full-state host materialization (multi-host
+            # FSDP resume scales).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            params = place_for_gspmd(params)
+            trainable, _ = partition(params, mask)
+            opt_state = jax.jit(optimizer.init)(trainable)
+            grid_state = replicate(grid_state, mesh)
+            rep = NamedSharding(mesh, P())
+
+            def as_tmpl(t):
+                # scalar/aux leaves come out of the jitted init with a
+                # single-device default sharding — normalize everything
+                # that isn't mesh-placed to mesh-replicated, or the jitted
+                # step would see incompatible device sets
+                def leaf(x):
+                    s = x.sharding if isinstance(x.sharding, NamedSharding) \
+                        else rep
+                    return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+                return jax.tree.map(leaf, t)
+            state = ckpt.restore(template={
+                "params": as_tmpl(params), "opt_state": as_tmpl(opt_state),
+                "grid_state": as_tmpl(grid_state), "extra": {"epoch": 0}})
+            params, opt_state = state["params"], state["opt_state"]
+            grid_state = state["grid_state"]
+            start_epoch = int(state["extra"].get("epoch", 0))
+            resumed = placed = True
+            log_fn(f"resumed from checkpoint step {ckpt.latest_step()} "
+                   f"(epoch {start_epoch}, sharded restore over "
+                   f"{int(mesh.devices.size)} devices)")
         else:
             state = ckpt.restore(template={
                 "params": params, "opt_state": opt_state,
                 "grid_state": grid_state, "extra": {"epoch": 0}})
-            # to-host: restored leaves must be uncommitted so the mesh
-            # placement below (or the jitted step's GSPMD layout) decides
-            # where they live.  (Known single-host-scale limitation: this
-            # materializes the full state on the host; a multi-host FSDP
-            # resume should instead restore through a sharded template.)
+            # to-host: restored leaves must be uncommitted so the replicate
+            # below (or the single-device jit) decides where they live
             state = jax.tree.map(np.asarray, state)
             params, opt_state = state["params"], state["opt_state"]
             grid_state = state["grid_state"]
@@ -154,13 +206,6 @@ def train(
             log_fn(f"resumed from checkpoint step {ckpt.latest_step()} "
                    f"(epoch {start_epoch})")
 
-    gspmd = tensor_parallel > 1 or fsdp
-    if tensor_parallel > 1 and mesh is None:
-        from ..parallel.tp import make_mesh_2d
-
-        mesh = make_mesh_2d(tp=tensor_parallel)
-    elif (data_parallel or fsdp) and mesh is None:
-        mesh = make_mesh()
     step_cache = {}
 
     def step_for_budget(budget):
@@ -182,25 +227,11 @@ def train(
         batch_sharding = NamedSharding(mesh, P("data"))
         if gspmd:
             global_batch = cfg.train.batch_size * (n_dev // tensor_parallel)
-            if fsdp:
-                from ..parallel.fsdp import place_joint_for_fsdp
-
-                params = place_joint_for_fsdp(
-                    params, mesh,
-                    tp_axis="model" if tensor_parallel > 1 else None)
-            else:
-                from ..parallel.tp import place_joint_for_gspmd
-
-                params = place_joint_for_gspmd(params, mesh)
-            trainable, _ = partition(params, mask)
-            if not resumed:
+            if not placed:     # a sharded resume already restored in place
+                params = place_for_gspmd(params)
+                trainable, _ = partition(params, mask)
                 opt_state = jax.jit(optimizer.init)(trainable)
-            # else: keep the restored opt state as-is — its arrays are
-            # uncommitted host values, so the GSPMD-jitted step is free to
-            # lay them out with the partitioner's chosen shardings
-            # (committing them ourselves would pin them to one device and
-            # conflict with the mesh-committed params)
-            grid_state = replicate(grid_state, mesh)
+                grid_state = replicate(grid_state, mesh)
         else:
             global_batch = cfg.train.batch_size * n_dev
             params = replicate(params, mesh)

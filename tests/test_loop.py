@@ -291,6 +291,54 @@ def test_train_loop_fsdp(synthetic_nerf_root, tmp_path):
                for x in jax.tree.leaves(params["sd"]))
 
 
+def test_train_loop_fsdp_sharded_resume(synthetic_nerf_root, tmp_path):
+    """Resume under FSDP restores through a sharded template (each host
+    reads only its own shards — no full-state host materialization): train
+    2 epochs with fsdp=True, resume to 3 with fsdp=True; the restore must
+    take the sharded path, keep SD leaves sharded, number epochs
+    continuously, and train to finite losses."""
+    import jax
+    from stable_nerf_tpu.config import (
+        HashGridConfig, NeRFConfig, SDConfig, TrainConfig,
+    )
+    from stable_nerf_tpu.data.dataset import StableNeRFDataset
+    from stable_nerf_tpu.models.diffusion.sd_network import SDNetworkConfig
+    from stable_nerf_tpu.models.diffusion.unet import tiny_unet_config
+    from stable_nerf_tpu.models.diffusion.vae import VAEConfig
+    from stable_nerf_tpu.training.joint import JointConfig
+    from stable_nerf_tpu.training.loop import train
+
+    cfg = JointConfig(
+        nerf=NeRFConfig(channel_dim=4, grid_size=16,
+                        encoding_sigma=HashGridConfig(n_levels=2,
+                                                      log2_hashmap_size=8,
+                                                      base_resolution=4)),
+        sd=SDNetworkConfig(
+            sd=SDConfig(num_tokens=2, cross_attention_dim=48, latent_size=16,
+                        image_size=32),
+            unet=tiny_unet_config(),
+            vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                          norm_groups=8),
+        ),
+        train=TrainConfig(batch_size=1, max_steps_train=16, max_steps_eval=16,
+                          inference_every=0, checkpoint_every=1),
+    )
+    ds = StableNeRFDataset("nerf", shape=32, encoded_shape=16,
+                           root=synthetic_nerf_root)
+    workdir = str(tmp_path / "work_fsdp_resume")
+    train(cfg, ds, workdir=workdir, epochs=2, fsdp=True,
+          log_fn=lambda *a: None)
+
+    logs = []
+    params, _, hist = train(cfg, ds, workdir=workdir, epochs=3, fsdp=True,
+                            resume=True, log_fn=logs.append)
+    assert any("sharded restore" in str(m) for m in logs), logs
+    assert [r["epoch"] for r in hist] == [2]
+    assert np.isfinite(hist[0]["train_loss"])
+    assert any(hasattr(x, "sharding") and not x.sharding.is_fully_replicated
+               for x in jax.tree.leaves(params["sd"]))
+
+
 def test_train_loop_auto_budget(synthetic_nerf_root, tmp_path):
     """sample_budget_auto: the loop re-buckets the traced step per
     occupancy refresh (adaptive mean_count emulation) and still trains to
