@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--sdxl-checkpoint", default=None)
     ap.add_argument("--tiny", action="store_true", help="tiny configs")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel axis size for the denoise "
+                         "(ring attention over latent tokens; needs sp*tp "
+                         "local devices)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel axis size for the denoise "
+                         "(attention-head/GEGLU sharding)")
     ap.add_argument("--out", default="debug_out_sd")
     args = ap.parse_args()
 
@@ -98,15 +105,58 @@ def main():
     latents = jax.random.normal(key, lat.shape)
     ts = jnp.asarray(scheduler.timesteps(args.steps))
 
-    @jax.jit
-    def denoise(latents):
-        def body(x, t):
-            eps = sd_forward(params, x, t, cond, cfg,
-                             compute_dtype=jnp.bfloat16)
-            x, _ = scheduler.step(eps, t, x, num_inference_steps=args.steps)
-            return x, None
-        out, _ = jax.lax.scan(body, latents, ts)
-        return out
+    if args.sp > 1 or args.tp > 1:
+        # sequence-/tensor-parallel serving: the whole denoise scan runs
+        # under shard_map on a (data=1 × seq × model) mesh — U-Net heads
+        # shard over `model`, latent tokens over `seq` (ring attention);
+        # the conditioning path and scheduler stay replicated.
+        from jax.sharding import PartitionSpec as P
+
+        from stable_nerf_tpu.parallel import make_mesh_3d
+        from stable_nerf_tpu.parallel.tp import (
+            permute_unet_for_tp, unet_tp_specs,
+        )
+
+        n_needed = args.sp * args.tp
+        if jax.device_count() < n_needed:
+            sys.exit(f"--sp {args.sp} --tp {args.tp} needs {n_needed} "
+                     f"devices, have {jax.device_count()}")
+        mesh = make_mesh_3d(n_needed, sp=args.sp, tp=args.tp)
+        tp_axis = "model" if args.tp > 1 else None
+        sp_axis = "seq" if args.sp > 1 else None
+        if tp_axis:
+            params["unet"] = permute_unet_for_tp(params["unet"], args.tp)
+        pspecs = jax.tree.map(lambda _: P(), params)
+        if tp_axis:
+            pspecs["unet"] = unet_tp_specs(params["unet"], tp_axis)
+        print(f"denoising under shard_map: seq={args.sp} model={args.tp}")
+
+        def denoise_local(params, latents):
+            def body(x, t):
+                eps = sd_forward(params, x, t, cond, cfg,
+                                 compute_dtype=jnp.bfloat16,
+                                 tp_axis=tp_axis, sp_axis=sp_axis)
+                x, _ = scheduler.step(eps, t, x,
+                                      num_inference_steps=args.steps)
+                return x, None
+            out, _ = jax.lax.scan(body, latents, ts)
+            return out
+
+        mapped = jax.shard_map(denoise_local, mesh=mesh,
+                               in_specs=(pspecs, P()), out_specs=P(),
+                               check_vma=False)
+        jitted = jax.jit(mapped)
+        denoise = lambda latents: jitted(params, latents)
+    else:
+        @jax.jit
+        def denoise(latents):
+            def body(x, t):
+                eps = sd_forward(params, x, t, cond, cfg,
+                                 compute_dtype=jnp.bfloat16)
+                x, _ = scheduler.step(eps, t, x, num_inference_steps=args.steps)
+                return x, None
+            out, _ = jax.lax.scan(body, latents, ts)
+            return out
 
     import time
 

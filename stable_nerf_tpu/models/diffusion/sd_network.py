@@ -181,6 +181,8 @@ def sd_forward(
     cfg: SDNetworkConfig = SDNetworkConfig(),
     *,
     compute_dtype=jnp.float32,
+    tp_axis=None,
+    sp_axis=None,
 ):
     """Noise prediction conditioned ONLY on ip tokens
     (reference SDNetwork.forward, network.py:191-212).
@@ -189,6 +191,9 @@ def sd_forward(
       noisy_latents: [B, 4, h, w].
       timesteps: scalar or [B].
       image_embeds: [B·2, cond_channels, latent, latent].
+      tp_axis / sp_axis: mesh axis names forwarded to ``unet_apply`` for
+        tensor-/sequence-parallel serving under `shard_map` (the tiny
+        conditioning path stays replicated; only the U-Net shards).
     """
     ip_tokens = embed_conditions(params, image_embeds, cfg)
     B = noisy_latents.shape[0]
@@ -200,4 +205,6 @@ def sd_forward(
         added_time_ids=jnp.broadcast_to(params["add_time_ids"], (B, 6)),
         cfg=cfg.unet,
         compute_dtype=compute_dtype,
+        tp_axis=tp_axis,
+        sp_axis=sp_axis,
     )

@@ -27,6 +27,7 @@ def test_run_sd_help():
                          capture_output=True, text=True, timeout=120)
     assert out.returncode == 0
     assert "--sdxl-checkpoint" in out.stdout
+    assert "--sp" in out.stdout and "--tp" in out.stdout
 
 
 def test_missing_dataset_message(tmp_path):
