@@ -14,10 +14,11 @@ Usage:  python scripts/bench_grid_refresh.py [--grid 128] [--chunk 65536]
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

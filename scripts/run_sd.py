@@ -130,33 +130,31 @@ def main():
         if tp_axis:
             pspecs["unet"] = unet_tp_specs(params["unet"], tp_axis)
         print(f"denoising under shard_map: seq={args.sp} model={args.tp}")
+    else:
+        mesh = tp_axis = sp_axis = None
+        pspecs = None
 
-        def denoise_local(params, latents):
-            def body(x, t):
-                eps = sd_forward(params, x, t, cond, cfg,
-                                 compute_dtype=jnp.bfloat16,
-                                 tp_axis=tp_axis, sp_axis=sp_axis)
-                x, _ = scheduler.step(eps, t, x,
-                                      num_inference_steps=args.steps)
-                return x, None
-            out, _ = jax.lax.scan(body, latents, ts)
-            return out
+    # one denoise body for both paths (tp/sp axes are None single-device)
+    def denoise_local(params, latents):
+        def body(x, t):
+            eps = sd_forward(params, x, t, cond, cfg,
+                             compute_dtype=jnp.bfloat16,
+                             tp_axis=tp_axis, sp_axis=sp_axis)
+            x, _ = scheduler.step(eps, t, x, num_inference_steps=args.steps)
+            return x, None
+        out, _ = jax.lax.scan(body, latents, ts)
+        return out
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
 
         mapped = jax.shard_map(denoise_local, mesh=mesh,
                                in_specs=(pspecs, P()), out_specs=P(),
                                check_vma=False)
         jitted = jax.jit(mapped)
-        denoise = lambda latents: jitted(params, latents)
     else:
-        @jax.jit
-        def denoise(latents):
-            def body(x, t):
-                eps = sd_forward(params, x, t, cond, cfg,
-                                 compute_dtype=jnp.bfloat16)
-                x, _ = scheduler.step(eps, t, x, num_inference_steps=args.steps)
-                return x, None
-            out, _ = jax.lax.scan(body, latents, ts)
-            return out
+        jitted = jax.jit(denoise_local)
+    denoise = lambda latents: jitted(params, latents)
 
     import time
 

@@ -90,8 +90,10 @@ def train(
     is restored — params, optimizer state, occupancy grid, and epoch —
     and training continues from the recorded epoch (the capability the
     reference lacks entirely: it pickles once at the very end,
-    reference train.py:303-308).  Restore happens before mesh placement,
-    so resuming works under DP/TP/FSDP too."""
+    reference train.py:303-308).  Under DP the restore lands on host and
+    is replicated below; under TP/FSDP it restores directly into the
+    production shardings through an abstract template (each host reads
+    only its own shards)."""
     os.makedirs(workdir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
     k_sd, k_nerf, key = jax.random.split(key, 3)
@@ -150,45 +152,55 @@ def train(
 
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
     start_epoch = 0
-    resumed = False
     placed = False
     if resume:
         if ckpt.latest_step() is None:
             log_fn(f"WARNING: resume requested but no checkpoint found "
                    f"under {workdir}/checkpoints — starting from scratch")
         elif gspmd:
-            # restore straight into the production shardings: materialize
-            # the placed (zero-step) state once to learn the target layout
-            # (params via the TP/FSDP placement rules, optimizer moments via
-            # the jitted init's propagated shardings), then hand orbax a
-            # ShapeDtypeStruct+sharding template so each host reads only its
-            # own shards — no full-state host materialization (multi-host
-            # FSDP resume scales).
+            # restore straight into the production shardings: build an
+            # ABSTRACT ShapeDtypeStruct+sharding template (params via the
+            # TP/FSDP placement rules, optimizer moments via the jitted
+            # init's propagated output shardings — no device arrays are
+            # allocated for the layout probe) and hand it to orbax, so each
+            # host reads only its own shards and device memory is touched
+            # exactly once, by the restored state itself (multi-host FSDP
+            # resume scales; no transient second copy).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            params = place_for_gspmd(params)
-            trainable, _ = partition(params, mask)
-            opt_state = jax.jit(optimizer.init)(trainable)
-            grid_state = replicate(grid_state, mesh)
-            rep = NamedSharding(mesh, P())
+            if fsdp:
+                from ..parallel.fsdp import joint_fsdp_shardings
 
-            def as_tmpl(t):
-                # scalar/aux leaves come out of the jitted init with a
-                # single-device default sharding — normalize everything
-                # that isn't mesh-placed to mesh-replicated, or the jitted
-                # step would see incompatible device sets
-                def leaf(x):
-                    s = x.sharding if isinstance(x.sharding, NamedSharding) \
-                        else rep
-                    return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
-                return jax.tree.map(leaf, t)
+                shardings = joint_fsdp_shardings(
+                    params, mesh,
+                    tp_axis="model" if tensor_parallel > 1 else None)
+            else:
+                from ..parallel.tp import joint_param_shardings
+
+                shardings = joint_param_shardings(params, mesh)
+            rep = NamedSharding(mesh, P())
+            sds = lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                    sharding=s)
+            params_tmpl = jax.tree.map(sds, params, shardings)
+            trainable_tmpl, _ = partition(params_tmpl, mask)
+            opt_shapes = jax.eval_shape(optimizer.init, trainable_tmpl)
+            opt_shardings = jax.jit(optimizer.init).lower(
+                trainable_tmpl).compile().output_shardings
+            # scalar/aux leaves come out of the init with a single-device
+            # default sharding — normalize everything that isn't mesh-placed
+            # to mesh-replicated, or the jitted step would see incompatible
+            # device sets
+            norm = lambda s: s if isinstance(s, NamedSharding) else rep
+            opt_tmpl = jax.tree.map(lambda x, s: sds(x, norm(s)),
+                                    opt_shapes, opt_shardings)
+            grid_tmpl = jax.tree.map(lambda x: sds(x, rep), grid_state)
             state = ckpt.restore(template={
-                "params": as_tmpl(params), "opt_state": as_tmpl(opt_state),
-                "grid_state": as_tmpl(grid_state), "extra": {"epoch": 0}})
+                "params": params_tmpl, "opt_state": opt_tmpl,
+                "grid_state": grid_tmpl, "extra": {"epoch": 0}})
             params, opt_state = state["params"], state["opt_state"]
             grid_state = state["grid_state"]
             start_epoch = int(state["extra"].get("epoch", 0))
-            resumed = placed = True
+            placed = True
             log_fn(f"resumed from checkpoint step {ckpt.latest_step()} "
                    f"(epoch {start_epoch}, sharded restore over "
                    f"{int(mesh.devices.size)} devices)")
@@ -202,7 +214,6 @@ def train(
             params, opt_state = state["params"], state["opt_state"]
             grid_state = state["grid_state"]
             start_epoch = int(state["extra"].get("epoch", 0))
-            resumed = True
             log_fn(f"resumed from checkpoint step {ckpt.latest_step()} "
                    f"(epoch {start_epoch})")
 
