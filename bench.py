@@ -281,7 +281,41 @@ def bench_joint_step(stochastic: bool = False):
     return dt * 1e3
 
 
+def backend_reachable(timeout_s: int = 900) -> bool:
+    """Probe backend liveness in a subprocess.
+
+    The axon TPU client creation blocks indefinitely when the tunnel is
+    down (observed: `jax.devices()` hangs in make_c_api_client during a
+    pool outage) — probing in a child process with a timeout keeps this
+    script from hanging the driver's bench capture.  First contact can
+    legitimately take minutes (remote AOT warmup), hence the generous
+    default."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not backend_reachable():
+        log("bench: backend unreachable — emitting error record")
+        print(json.dumps({
+            "metric": "nerf_train_rays_per_sec",
+            "value": 0.0,
+            "unit": "rays/s (fwd+bwd, 8192 rays x 256 steps, 128^3 grid, bf16)",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (client creation timed out; "
+                     "tunnel outage — not a regression in this repo)",
+        }))
+        return
+
     log("bench: NeRF train render…")
     rays_per_sec, _ = bench_nerf_render()
     log(f"  {rays_per_sec:.0f} rays/s")
