@@ -145,6 +145,36 @@ def test_sp_unet_grad_parity():
         got, want)
 
 
+def test_sp_remat_grad_parity():
+    """Block remat composed with sequence parallelism: the checkpointed
+    transformer must recompute through the ring (ppermute scan) in the
+    backward without changing values or grads."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_unet_config(), remat=True)
+    params = unet_init(jax.random.PRNGKey(5), cfg)
+    inp = _inputs(cfg)
+
+    def ref_loss(p):
+        return jnp.mean(_reference_eps(p, tiny_unet_config(), inp) ** 2)
+
+    want = jax.grad(ref_loss)(params)
+
+    mesh = make_mesh_3d(4, sp=4)
+    placed, apply_fn = make_sp_unet_apply(params, mesh, cfg)
+
+    def sp_loss(p):
+        eps = apply_fn(p, inp["sample"], inp["t"], inp["ehs"],
+                       inp["text_embeds"], inp["time_ids"])
+        return jnp.mean(eps ** 2)
+
+    got = jax.grad(sp_loss)(placed)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5),
+        got, want)
+
+
 def test_sp_tp_3d_forward_parity():
     """data=2 × seq=2 × model=2: batch over data, tokens over seq, heads
     over model — all three axes simultaneously."""
