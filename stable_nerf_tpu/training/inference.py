@@ -32,11 +32,17 @@ def make_inference_step(
     num_steps: int = 50,
     *,
     compute_dtype=jnp.bfloat16,
+    tp_axis=None,
+    sp_axis=None,
 ):
     """Build the jitted per-batch inference function.
 
     Returns fn(params, grid_state, batch, key) → dict with the denoised
     novel view plus PSNR/SSIM/L2 metrics against the GT target image.
+
+    ``tp_axis``/``sp_axis`` thread mesh axis names into the U-Net for
+    tensor-/sequence-parallel serving; only meaningful under ``shard_map``
+    (see ``make_sharded_inference_step``).
     """
     ts = scheduler.timesteps(num_steps)
 
@@ -76,7 +82,8 @@ def make_inference_step(
 
         def body(x, t):
             eps = sd_forward(params["sd"], x, t, image_embeds, cfg.sd,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             tp_axis=tp_axis, sp_axis=sp_axis)
             x, _ = scheduler.step(eps, t, x, num_inference_steps=num_steps)
             return x, None
 
@@ -97,3 +104,74 @@ def make_inference_step(
         }
 
     return step
+
+
+def make_sharded_inference_step(
+    cfg: JointConfig,
+    scheduler: DDIMScheduler,
+    num_steps: int = 50,
+    *,
+    mesh,
+    tp: int = 1,
+    sp: int = 1,
+    compute_dtype=jnp.bfloat16,
+):
+    """Tensor-/sequence-parallel serving wrapper around the inference step.
+
+    The 50-step DDIM U-Net scan dominates the per-batch cost; under this
+    wrapper it shards over the mesh's ``model`` axis (megatron head/GEGLU
+    split, tp ∈ {2,5,10} for SDXL) and/or ``seq`` axis (ring attention over
+    latent tokens).  The NeRF render, VAE, and metric math are replicated —
+    at serving shapes they are a small fraction of the step.
+
+    Returns ``build(params) -> (placed_params, fn)``: call once with the
+    restored params (GEGLU kernels are permuted and leaves device_put per
+    their specs), then ``fn(placed_params, grid_state, batch, key)`` exactly
+    like the unsharded step.
+
+    The reference serves its eval loop single-GPU (train.py:323-432); this
+    is the TPU scale-out for it.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.tp import permute_unet_for_tp, unet_tp_specs
+
+    tp_axis = "model" if tp > 1 else None
+    sp_axis = "seq" if sp > 1 else None
+    step = make_inference_step(cfg, scheduler, num_steps,
+                               compute_dtype=compute_dtype,
+                               tp_axis=tp_axis, sp_axis=sp_axis)
+
+    def build(params):
+        if tp_axis is not None:
+            params = dict(params)
+            params["sd"] = dict(params["sd"])
+            params["sd"]["unet"] = permute_unet_for_tp(
+                params["sd"]["unet"], tp)
+        pspecs = jax.tree.map(lambda _: P(), params)
+        if tp_axis is not None:
+            pspecs["sd"]["unet"] = unet_tp_specs(params["sd"]["unet"],
+                                                 tp_axis)
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                                 is_leaf=lambda x: isinstance(x, P))
+        placed = jax.tree.map(jax.device_put, params, shardings)
+        # grid/batch/key replicated via spec-prefix broadcasting; vma
+        # replication inference is defeated by the SP path's mid-network
+        # gathers (see parallel/sp.py)
+        mapped = jax.shard_map(
+            step, mesh=mesh, in_specs=(pspecs, P(), P(), P()),
+            out_specs=P(), check_vma=sp_axis is None)
+        jitted = jax.jit(mapped)
+        rep = NamedSharding(mesh, P())
+
+        def fn(p, grid_state, batch, key):
+            # a checkpoint-restored grid is committed to one device —
+            # re-place it replicated over the mesh (no-op when already
+            # there) so the jitted computation sees one device set
+            grid_state = jax.tree.map(lambda x: jax.device_put(x, rep),
+                                      grid_state)
+            return jitted(p, grid_state, batch, key)
+
+        return placed, fn
+
+    return build

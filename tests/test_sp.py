@@ -225,6 +225,48 @@ def test_sp_attn_map_capture_parity():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_sharded_inference_step_parity():
+    """The TP×SP serving wrapper around the full DDIM inference step (NeRF
+    render → condition assembly → sharded U-Net scan → decode → metrics)
+    matches the unsharded step."""
+    from test_joint_training import make_batch, tiny_joint_cfg
+
+    from stable_nerf_tpu.models.diffusion import DDIMScheduler
+    from stable_nerf_tpu.models.diffusion.sd_network import sd_network_init
+    from stable_nerf_tpu.models.nerf import grid_init, nerf_init
+    from stable_nerf_tpu.training.inference import (
+        make_inference_step, make_sharded_inference_step,
+    )
+
+    key = jax.random.PRNGKey(6)
+    cfg = tiny_joint_cfg()
+    k1, k2 = jax.random.split(key)
+    params = {"sd": sd_network_init(k1, cfg.sd),
+              "nerf": nerf_init(k2, cfg.nerf)}
+    grid_state = grid_init(cfg.nerf)
+    grid_state = grid_state._replace(occ=jnp.ones_like(grid_state.occ))
+    scheduler = DDIMScheduler.create(cfg.sd.scheduler)
+    batch = make_batch(key, 2)
+
+    # f32 so the parity bound is reduction-order only
+    ref_fn = jax.jit(make_inference_step(cfg, scheduler, num_steps=3,
+                                         compute_dtype=jnp.float32))
+    want = ref_fn(params, grid_state, batch, key)
+
+    mesh = make_mesh_3d(8, sp=2, tp=2)
+    build = make_sharded_inference_step(cfg, scheduler, num_steps=3,
+                                        mesh=mesh, tp=2, sp=2,
+                                        compute_dtype=jnp.float32)
+    placed, fn = build(params)
+    got = fn(placed, grid_state, batch, key)
+
+    np.testing.assert_allclose(float(got["psnr"].mean()),
+                               float(want["psnr"].mean()), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["denoised_image"]),
+                               np.asarray(want["denoised_image"]),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_sp_indivisible_sequence_raises():
     """A token count not divisible by the seq axis must fail loudly at
     trace time, not mis-shard."""

@@ -70,6 +70,11 @@ def build_parser():
     p.add_argument("--stochastic-min-level", type=int, default=0,
                    help="with --stochastic: keep levels < this exact "
                         "(hybrid mode; coarse levels are cache-cheap)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="with --inference: sequence-parallel axis size for "
+                        "the DDIM denoise (ring attention over latent "
+                        "tokens); composes with --tensor-parallel on a "
+                        "(seq x model) mesh")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint under --workdir "
                         "(params + optimizer + occupancy grid + epoch) and "
@@ -166,8 +171,12 @@ def main(argv=None):
         pretrained = load_sdxl(args.sdxl_checkpoint)
 
     if args.inference:
-        run_inference(cfg, dataset, workdir)
+        run_inference(cfg, dataset, workdir,
+                      tp=args.tensor_parallel, sp=args.sp)
         return
+    if args.sp > 1:
+        sys.exit("--sp is a serving lever (use with --inference); training "
+                 "scale-out is --data-parallel / --tensor-parallel / --fsdp")
 
     from stable_nerf_tpu.training.loop import train
 
@@ -177,7 +186,7 @@ def main(argv=None):
           resume=args.resume)
 
 
-def run_inference(cfg, dataset, workdir):
+def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1):
     import jax
     import numpy as np
 
@@ -214,8 +223,24 @@ def run_inference(cfg, dataset, workdir):
     params, grid_state = state["params"], state["grid_state"]
 
     scheduler = DDIMScheduler.create(cfg.sd.scheduler)
-    infer = jax.jit(make_inference_step(cfg, scheduler,
-                                        cfg.train.num_inference_steps))
+    if tp > 1 or sp > 1:
+        from stable_nerf_tpu.parallel import make_mesh_3d
+        from stable_nerf_tpu.training.inference import (
+            make_sharded_inference_step,
+        )
+
+        n_needed = tp * sp
+        if jax.device_count() < n_needed:
+            sys.exit(f"--tensor-parallel {tp} --sp {sp} needs {n_needed} "
+                     f"devices, have {jax.device_count()}")
+        print(f"serving sharded: seq={sp} model={tp}")
+        build = make_sharded_inference_step(
+            cfg, scheduler, cfg.train.num_inference_steps,
+            mesh=make_mesh_3d(n_needed, sp=sp, tp=tp), tp=tp, sp=sp)
+        params, infer = build(params)
+    else:
+        infer = jax.jit(make_inference_step(cfg, scheduler,
+                                            cfg.train.num_inference_steps))
     _, _, te_idx = split_dataset(len(dataset), seed=cfg.train.seed)
 
     renders = os.path.join(workdir, "renders")
