@@ -79,6 +79,14 @@ def main():
                          "'auto', or make the budget generous")
     ap.add_argument("--stochastic", action="store_true",
                     help="hash_stochastic training fast mode")
+    ap.add_argument("--stochastic-until", type=int, default=0,
+                    help="warmup schedule: train the first N steps with the "
+                         "stochastic one-corner encode (0.29 s/step vs "
+                         "1.57 exact on v5e), then switch to the exact "
+                         "8-corner encode for final quality; 0 = no "
+                         "schedule.  Unlike --stochastic (stochastic "
+                         "throughout), this targets the exact-mode PSNR "
+                         "ceiling at a fraction of the wall time")
     ap.add_argument("--stochastic-min-level", type=int, default=0,
                     help="with --stochastic: keep exact 8-corner interp "
                          "on levels below this index (hybrid fast mode); "
@@ -112,11 +120,17 @@ def main():
     H = W = args.size
     from stable_nerf_tpu.ops.compaction import suggest_sample_budget
 
+    import dataclasses
+
     cfg = NeRFConfig(channel_dim=3, grid_size=args.grid_size,
                      hash_stochastic=args.stochastic,
                      hash_stochastic_min_level=args.stochastic_min_level,
                      density_activation=args.density_act,
                      hash_custom_bwd=not args.no_custom_bwd)
+    # the warmup config: same params/tables, one-corner encode
+    cfg_sto = dataclasses.replace(
+        cfg, hash_stochastic=True,
+        hash_stochastic_min_level=args.stochastic_min_level)
     auto_budget = args.sample_budget == "auto"
     budget = None if auto_budget else (
         int(args.sample_budget) if int(args.sample_budget) > 0 else None)
@@ -152,11 +166,13 @@ def main():
 
     step_cache = {}
 
-    def make_train_step(b):
-        """One traced step per distinct budget bucket (auto mode cycles
-        through at most log2(max_steps) buckets)."""
-        if b in step_cache:
-            return step_cache[b]
+    def make_train_step(b, stochastic=False):
+        """One traced step per distinct (budget bucket, encode mode) — auto
+        mode cycles through at most log2(max_steps) buckets, the warmup
+        schedule through two modes."""
+        if (b, stochastic) in step_cache:
+            return step_cache[(b, stochastic)]
+        step_cfg = cfg_sto if stochastic else cfg
 
         @jax.jit
         def train_step(params, opt_state, state, key):
@@ -166,7 +182,7 @@ def main():
             o, d, gt = pool_o[idx], pool_d[idx], pool_gt[idx]
 
             def loss_fn(p):
-                out = render(p, state, o[None], d[None], cfg,
+                out = render(p, state, o[None], d[None], step_cfg,
                              bg_color=args.bg, max_steps=args.max_steps,
                              perturb_key=k_perturb,
                              compute_dtype=jnp.bfloat16, sample_budget=b)
@@ -178,7 +194,7 @@ def main():
             updates, opt_state = opt.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        step_cache[b] = train_step
+        step_cache[(b, stochastic)] = train_step
         return train_step
 
     @jax.jit
@@ -199,15 +215,24 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
-    train_step = make_train_step(budget)
+    cur_budget = budget
+
+    def warming(step):
+        return args.stochastic or step < args.stochastic_until
+
+    train_step = make_train_step(cur_budget, warming(0))
     for step in range(args.steps):
         if step % args.update_every == 0:
             key, k_grid = jax.random.split(key)
             state = update(state, params, k_grid)
             if auto_budget:
-                b = suggest_sample_budget(float(jnp.mean(state.occ)),
-                                          args.rays_per_batch, args.max_steps)
-                train_step = make_train_step(b)
+                cur_budget = suggest_sample_budget(
+                    float(jnp.mean(state.occ)),
+                    args.rays_per_batch, args.max_steps)
+        if step == args.stochastic_until and args.stochastic_until:
+            print(f"step {step}: warmup over — switching to the exact "
+                  f"8-corner encode", flush=True)
+        train_step = make_train_step(cur_budget, warming(step))
         key, k = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, state, k)
         if (step + 1) % args.log_every == 0 or step == 0:

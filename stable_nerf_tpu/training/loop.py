@@ -219,17 +219,24 @@ def train(
 
     step_cache = {}
 
-    def step_for_budget(budget):
-        """One traced train step per distinct sample-budget bucket
-        (sample_budget_auto cycles through ≤ log2(max_steps) buckets)."""
-        if budget not in step_cache:
+    def step_for_budget(budget, stochastic=False):
+        """One traced train step per distinct (sample-budget bucket, encode
+        mode) — sample_budget_auto cycles through ≤ log2(max_steps) buckets,
+        the stochastic-warmup schedule through two modes."""
+        if (budget, stochastic) not in step_cache:
+            import dataclasses
+
+            step_cfg = cfg if not stochastic else dataclasses.replace(
+                cfg, nerf=dataclasses.replace(cfg.nerf,
+                                              hash_stochastic=True))
             inner = make_train_step(
-                cfg, scheduler, optimizer, mask, sample_budget=budget,
+                step_cfg, scheduler, optimizer, mask, sample_budget=budget,
                 **({"pmean_axis": "data"}
                    if mesh is not None and not gspmd else {}))
-            step_cache[budget] = (jax.jit(inner) if mesh is None or gspmd
-                                  else make_parallel_train_step(inner, mesh))
-        return step_cache[budget]
+            step_cache[(budget, stochastic)] = (
+                jax.jit(inner) if mesh is None or gspmd
+                else make_parallel_train_step(inner, mesh))
+        return step_cache[(budget, stochastic)]
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -251,7 +258,7 @@ def train(
     else:
         batch_sharding = None
         global_batch = cfg.train.batch_size
-    step_fn = step_for_budget(cfg.train.sample_budget)
+    cur_budget = cfg.train.sample_budget
     eval_fn = jax.jit(make_eval_step(cfg, scheduler))
     infer_fn = jax.jit(make_inference_step(cfg, scheduler,
                                            cfg.train.num_inference_steps))
@@ -290,8 +297,14 @@ def train(
 
             occ_frac = float(jnp.mean(
                 grid_state.occ.astype(jnp.float32)))
-            step_fn = step_for_budget(suggest_sample_budget(
-                occ_frac, rays_per_step, cfg.train.max_steps_train))
+            cur_budget = suggest_sample_budget(
+                occ_frac, rays_per_step, cfg.train.max_steps_train)
+        warm = epoch < cfg.train.stochastic_until_epoch
+        if cfg.train.stochastic_until_epoch and \
+                epoch == cfg.train.stochastic_until_epoch:
+            log_fn(f"epoch {epoch}: stochastic warmup over — switching to "
+                   f"the exact 8-corner encode")
+        step_fn = step_for_budget(cur_budget, warm)
 
         train_metrics = []
         for batch in device_prefetch(

@@ -339,6 +339,48 @@ def test_train_loop_fsdp_sharded_resume(synthetic_nerf_root, tmp_path):
                for x in jax.tree.leaves(params["sd"]))
 
 
+def test_train_loop_stochastic_warmup_schedule(synthetic_nerf_root, tmp_path):
+    """stochastic_until_epoch: the first N epochs train with the one-corner
+    encode, then the loop switches to the exact step (fast early
+    convergence + exact-mode final quality — beyond the reference, which
+    has one encode mode)."""
+    from stable_nerf_tpu.config import (
+        HashGridConfig, NeRFConfig, SDConfig, TrainConfig,
+    )
+    from stable_nerf_tpu.data.dataset import StableNeRFDataset
+    from stable_nerf_tpu.models.diffusion.sd_network import SDNetworkConfig
+    from stable_nerf_tpu.models.diffusion.unet import tiny_unet_config
+    from stable_nerf_tpu.models.diffusion.vae import VAEConfig
+    from stable_nerf_tpu.training.joint import JointConfig
+    from stable_nerf_tpu.training.loop import train
+
+    cfg = JointConfig(
+        nerf=NeRFConfig(channel_dim=4, grid_size=16,
+                        encoding_sigma=HashGridConfig(n_levels=2,
+                                                      log2_hashmap_size=8,
+                                                      base_resolution=4)),
+        sd=SDNetworkConfig(
+            sd=SDConfig(num_tokens=2, cross_attention_dim=48, latent_size=16,
+                        image_size=32),
+            unet=tiny_unet_config(),
+            vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                          norm_groups=8),
+        ),
+        train=TrainConfig(batch_size=2, max_steps_train=16, max_steps_eval=16,
+                          inference_every=0, checkpoint_every=100,
+                          stochastic_until_epoch=2),
+    )
+    ds = StableNeRFDataset("nerf", shape=32, encoded_shape=16,
+                           root=synthetic_nerf_root)
+    logs = []
+    _, _, hist = train(cfg, ds, workdir=str(tmp_path / "work_warm"),
+                       epochs=3, log_fn=logs.append)
+    assert any("warmup over" in str(m) for m in logs), logs
+    assert len(hist) == 3
+    for rec in hist:
+        assert np.isfinite(rec["train_loss"])
+
+
 def test_train_loop_auto_budget(synthetic_nerf_root, tmp_path):
     """sample_budget_auto: the loop re-buckets the traced step per
     occupancy refresh (adaptive mean_count emulation) and still trains to

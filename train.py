@@ -67,6 +67,11 @@ def build_parser():
                    help="unbiased one-corner hash-encode fast train mode "
                         "(3.8x faster joint step measured; eval renders "
                         "stay exact)")
+    p.add_argument("--stochastic-until-epoch", type=int, default=0,
+                   help="warmup schedule: train the first N epochs with the "
+                        "stochastic one-corner encode, then switch to the "
+                        "exact 8-corner encode (fast early convergence + "
+                        "exact-mode final quality); 0 = no schedule")
     p.add_argument("--stochastic-min-level", type=int, default=0,
                    help="with --stochastic: keep levels < this exact "
                         "(hybrid mode; coarse levels are cache-cheap)")
@@ -148,6 +153,7 @@ def main(argv=None):
             sample_budget=(None if args.sample_budget in (None, "auto")
                            else int(args.sample_budget)),
             sample_budget_auto=args.sample_budget == "auto",
+            stochastic_until_epoch=args.stochastic_until_epoch,
         ),
     )
 
