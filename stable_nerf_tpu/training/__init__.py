@@ -5,7 +5,7 @@ from .joint import (
     make_eval_step,
     make_train_step,
 )
-from .inference import make_inference_step
+from .inference import make_inference_step, make_sharded_inference_step
 
 __all__ = [
     "JointConfig",
@@ -14,4 +14,5 @@ __all__ = [
     "make_eval_step",
     "make_train_step",
     "make_inference_step",
+    "make_sharded_inference_step",
 ]
