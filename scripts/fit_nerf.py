@@ -214,13 +214,16 @@ def main():
             gts[i].reshape(1, H, W, 3).transpose(0, 3, 1, 2))[0, 0])
 
     os.makedirs(args.out, exist_ok=True)
+    if args.stochastic and args.stochastic_until:
+        sys.exit("--stochastic (one-corner throughout) and "
+                 "--stochastic-until (warmup schedule, exact finish) are "
+                 "mutually exclusive — pick one")
     t0 = time.time()
     cur_budget = budget
 
     def warming(step):
         return args.stochastic or step < args.stochastic_until
 
-    train_step = make_train_step(cur_budget, warming(0))
     for step in range(args.steps):
         if step % args.update_every == 0:
             key, k_grid = jax.random.split(key)

@@ -110,12 +110,8 @@ def main():
         # under shard_map on a (data=1 × seq × model) mesh — U-Net heads
         # shard over `model`, latent tokens over `seq` (ring attention);
         # the conditioning path and scheduler stay replicated.
-        from jax.sharding import PartitionSpec as P
-
         from stable_nerf_tpu.parallel import make_mesh_3d
-        from stable_nerf_tpu.parallel.tp import (
-            permute_unet_for_tp, unet_tp_specs,
-        )
+        from stable_nerf_tpu.parallel.sp import serving_param_specs
 
         n_needed = args.sp * args.tp
         if jax.device_count() < n_needed:
@@ -124,11 +120,8 @@ def main():
         mesh = make_mesh_3d(n_needed, sp=args.sp, tp=args.tp)
         tp_axis = "model" if args.tp > 1 else None
         sp_axis = "seq" if args.sp > 1 else None
-        if tp_axis:
-            params["unet"] = permute_unet_for_tp(params["unet"], args.tp)
-        pspecs = jax.tree.map(lambda _: P(), params)
-        if tp_axis:
-            pspecs["unet"] = unet_tp_specs(params["unet"], tp_axis)
+        params, pspecs = serving_param_specs(params, args.tp,
+                                             unet_keys=("unet",))
         print(f"denoising under shard_map: seq={args.sp} model={args.tp}")
     else:
         mesh = tp_axis = sp_axis = None

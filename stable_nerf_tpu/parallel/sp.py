@@ -37,7 +37,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.diffusion.nn import ring_sdpa  # re-export: the SP primitive
 from .tp import shard_unet_for_tp
 
-__all__ = ["make_mesh_3d", "make_sp_unet_apply", "ring_sdpa"]
+__all__ = ["make_mesh_3d", "make_sp_unet_apply", "ring_sdpa",
+           "serving_param_specs"]
 
 
 def make_mesh_3d(n_devices: int = -1, sp: int = 1, tp: int = 1,
@@ -51,6 +52,38 @@ def make_mesh_3d(n_devices: int = -1, sp: int = 1, tp: int = 1,
     if n % (sp * tp):
         raise ValueError(f"{n} devices not divisible by sp*tp={sp * tp}")
     return Mesh(np.asarray(devices).reshape(n // (sp * tp), sp, tp), axes)
+
+
+def serving_param_specs(params: Dict, tp: int = 1,
+                        tp_axis: str = "model",
+                        unet_keys=("unet",)):
+    """Prepare a param tree for shard_map serving: permute the U-Net's
+    GEGLU kernels for contiguous tp sharding and build the matching
+    PartitionSpec tree (U-Net attention/GEGLU per `tp.unet_tp_specs`,
+    everything else replicated).  ``unet_keys`` locates the U-Net subtree
+    (("unet",) for a bare SD tree, ("sd", "unet") for the joint tree).
+    Returns (params, pspecs); with tp == 1 params are returned unpermuted
+    and every spec is P().  Shared by run_sd.py, train.py --inference and
+    training/inference.py so the permute/spec recipe lives in one place."""
+    from .tp import permute_unet_for_tp, unet_tp_specs
+
+    pspecs = jax.tree.map(lambda _: P(), params)
+    if tp > 1:
+        sub = params
+        for k in unet_keys[:-1]:
+            sub = sub[k]
+        unet = permute_unet_for_tp(sub[unet_keys[-1]], tp)
+        # rebuild the nested dicts along the path without mutating input
+        def set_path(tree, keys, value):
+            if not keys:
+                return value
+            out = dict(tree)
+            out[keys[0]] = set_path(tree[keys[0]], keys[1:], value)
+            return out
+        params = set_path(params, list(unet_keys), unet)
+        pspecs = set_path(pspecs, list(unet_keys),
+                          unet_tp_specs(unet, tp_axis))
+    return params, pspecs
 
 
 def make_sp_unet_apply(params: Dict, mesh: Mesh, cfg,

@@ -134,7 +134,7 @@ def make_sharded_inference_step(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..parallel.tp import permute_unet_for_tp, unet_tp_specs
+    from ..parallel.sp import serving_param_specs
 
     tp_axis = "model" if tp > 1 else None
     sp_axis = "seq" if sp > 1 else None
@@ -143,15 +143,8 @@ def make_sharded_inference_step(
                                tp_axis=tp_axis, sp_axis=sp_axis)
 
     def build(params):
-        if tp_axis is not None:
-            params = dict(params)
-            params["sd"] = dict(params["sd"])
-            params["sd"]["unet"] = permute_unet_for_tp(
-                params["sd"]["unet"], tp)
-        pspecs = jax.tree.map(lambda _: P(), params)
-        if tp_axis is not None:
-            pspecs["sd"]["unet"] = unet_tp_specs(params["sd"]["unet"],
-                                                 tp_axis)
+        params, pspecs = serving_param_specs(params, tp,
+                                             unet_keys=("sd", "unet"))
         shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
                                  is_leaf=lambda x: isinstance(x, P))
         placed = jax.tree.map(jax.device_put, params, shardings)

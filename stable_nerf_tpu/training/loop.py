@@ -226,9 +226,15 @@ def train(
         if (budget, stochastic) not in step_cache:
             import dataclasses
 
-            step_cfg = cfg if not stochastic else dataclasses.replace(
-                cfg, nerf=dataclasses.replace(cfg.nerf,
-                                              hash_stochastic=True))
+            if cfg.train.stochastic_until_epoch:
+                # schedule active: the flag decides the encode mode outright
+                # (so the exact phase is exact even if cfg.nerf came in
+                # stochastic)
+                step_cfg = dataclasses.replace(
+                    cfg, nerf=dataclasses.replace(
+                        cfg.nerf, hash_stochastic=stochastic))
+            else:
+                step_cfg = cfg
             inner = make_train_step(
                 step_cfg, scheduler, optimizer, mask, sample_budget=budget,
                 **({"pmean_axis": "data"}

@@ -132,10 +132,19 @@ def main(argv=None):
     if args.remat:
         sd_cfg = dataclasses.replace(
             sd_cfg, unet=dataclasses.replace(sd_cfg.unet, remat=True))
+    if args.stochastic and args.stochastic_until_epoch:
+        sys.exit("--stochastic (one-corner encode throughout) and "
+                 "--stochastic-until-epoch (warmup schedule, exact finish) "
+                 "are mutually exclusive — pick one")
     if args.stochastic:
         nerf_cfg = dataclasses.replace(
             nerf_cfg, hash_stochastic=True,
             hash_stochastic_min_level=args.stochastic_min_level)
+    elif args.stochastic_until_epoch:
+        # schedule: the warm epochs' config is derived in the loop by
+        # flipping hash_stochastic — carry the hybrid min-level through
+        nerf_cfg = dataclasses.replace(
+            nerf_cfg, hash_stochastic_min_level=args.stochastic_min_level)
 
     cfg = JointConfig(
         nerf=nerf_cfg,
