@@ -58,6 +58,7 @@ def train(
     fsdp: bool = False,
     mesh=None,
     resume: bool = False,
+    profile_dir: Optional[str] = None,
 ):
     """Run joint training; returns (params, grid_state, metrics_history).
 
@@ -313,17 +314,32 @@ def train(
         step_fn = step_for_budget(cur_budget, warm)
 
         train_metrics = []
-        for batch in device_prefetch(
+        tracing = False
+        for i, batch in enumerate(device_prefetch(
             iterate(dataset, tr_idx, global_batch, shuffle=True,
                     seed=seed + epoch),
             sharding=batch_sharding,
-        ):
+        )):
+            # profile a few steady-state steps of the first epoch (step 0
+            # is the compile; xprof/tensorboard reads the dump)
+            if profile_dir and epoch == start_epoch:
+                if i == 1:
+                    jax.profiler.start_trace(profile_dir)
+                    log_fn(f"profiler: tracing steps 1-4 to {profile_dir}")
+                    tracing = True
+                elif i == 5 and tracing:
+                    jax.block_until_ready(params)
+                    jax.profiler.stop_trace()
+                    tracing = False
             key, k_step = jax.random.split(key)
             with timer.step(rays=2 * global_batch * cfg.latent_hw ** 2):
                 params, opt_state, m = step_fn(
                     params, opt_state, grid_state, batch, k_step
                 )
             train_metrics.append(m)
+        if tracing:          # epoch shorter than the trace window
+            jax.block_until_ready(params)
+            jax.profiler.stop_trace()
 
         val_metrics = []
         for batch in iterate(dataset, va_idx, cfg.train.batch_size):

@@ -84,6 +84,9 @@ def build_parser():
                    help="restore the latest checkpoint under --workdir "
                         "(params + optimizer + occupancy grid + epoch) and "
                         "continue training from there")
+    p.add_argument("--profile-dir", default=None,
+                   help="dump a jax.profiler trace of a few steady-state "
+                        "train steps here (view with xprof/tensorboard)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model configs (smoke tests / CI; pairs with "
                         "--image-size 32 --latent-size 16)")
@@ -196,7 +199,8 @@ def main(argv=None):
     from stable_nerf_tpu.training.loop import train
 
     train(cfg, dataset, workdir=workdir, seed=args.seed,
-          pretrained_sd=pretrained, data_parallel=args.data_parallel,
+          pretrained_sd=pretrained, profile_dir=args.profile_dir,
+          data_parallel=args.data_parallel,
           tensor_parallel=args.tensor_parallel, fsdp=args.fsdp,
           resume=args.resume)
 
