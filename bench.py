@@ -292,15 +292,24 @@ def backend_reachable(timeout_s: int = 900) -> bool:
     default."""
     import subprocess
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        return proc.returncode == 0 and "ok" in proc.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(3):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if proc.returncode == 0 and "ok" in proc.stdout:
+                return True
+            # fast failure (client error, not a hang): transient tunnel
+            # blips recover within a minute — retry instead of zeroing
+            # the round's bench on one bad probe
+            log(f"bench: backend probe failed fast (attempt {attempt + 1}/3)")
+            time.sleep(60)
+        except subprocess.TimeoutExpired:
+            # a hang already consumed the full budget; don't triple it
+            return False
+    return False
 
 
 def main():

@@ -33,7 +33,9 @@ def device_prefetch(
 
     def put(batch):
         if sharding is not None:
-            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+            from ..parallel.sharding import put_sharded
+
+            return {k: put_sharded(v, sharding) for k, v in batch.items()}
         return {k: jax.device_put(v) for k, v in batch.items()}
 
     for batch in iterator:

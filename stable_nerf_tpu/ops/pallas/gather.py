@@ -139,8 +139,8 @@ def sorted_window_gather(table, sidx, interpret: bool = False):
         num_scalar_prefetch=2,
         grid=(n_windows,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((F, _WIN_ROWS, _LANES),
                                lambda i, *_: (0, i, 0)),

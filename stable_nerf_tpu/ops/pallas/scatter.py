@@ -142,8 +142,8 @@ def sorted_block_scatter_add(sidx, supd, table_size: int, *, block: int = 1024):
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((F, block), lambda i, *_: (0, i)),
         scratch_shapes=[

@@ -153,8 +153,8 @@ def sorted_block_scatter_add_v2(sidx, supd, table_size: int,
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((F, 1, _SUB, _LANES),
                                lambda i, *_: (0, i, 0, 0)),

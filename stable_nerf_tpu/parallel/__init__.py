@@ -8,6 +8,7 @@ from .sharding import (
     make_mesh,
     make_parallel_train_step,
     process_shard_indices,
+    put_sharded,
     replicate,
     shard_batch,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "permute_unet_for_tp",
     "place_joint_for_gspmd",
     "process_shard_indices",
+    "put_sharded",
     "replicate",
     "ring_sdpa",
     "shard_batch",

@@ -36,13 +36,18 @@ def process_shard_indices(n_samples: int) -> np.ndarray:
     The reference's accelerate launcher shards batches via DistributedSampler;
     the JAX-native equivalent: each process loads only its contiguous slice
     (SURVEY.md §5 "host data sharding per process").
+
+    Every process gets EXACTLY ``n_samples // n`` indices — the remainder is
+    dropped, never assigned to the last process: unequal slices would let
+    hosts disagree on the number of full batches per epoch, and the first
+    collective of the extra batch would deadlock the job (same reason
+    torch's DistributedSampler equalizes ranks).
     """
     p = jax.process_index()
     n = jax.process_count()
     per = n_samples // n
     start = p * per
-    end = start + per if p < n - 1 else n_samples
-    return np.arange(start, end)
+    return np.arange(start, start + per)
 
 
 def barrier(name: str = "sync"):
@@ -60,10 +65,30 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def put_sharded(value, sharding: jax.sharding.Sharding) -> jax.Array:
+    """Device-put a host array under a (possibly multi-host) sharding.
+
+    Single-process: plain ``device_put``.  Multi-process: ``device_put``
+    cannot target non-addressable devices, so ``value`` must be this
+    process's LOCAL slice of the global array (the disjoint per-host slice
+    produced by ``process_shard_indices``-based loading) and the global
+    array is assembled shard-wise with no cross-host transfer
+    (``jax.make_array_from_process_local_data``) — the JAX-native analogue
+    of the reference's per-rank DistributedSampler batches
+    (reference train.py:170-172 under the accelerate launcher).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(value))
+
+
 def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
-    """Shard a host batch on its leading (batch) axis across the mesh."""
+    """Shard a host batch on its leading (batch) axis across the mesh.
+
+    Multi-host: each process passes its local slice of the global batch
+    (see ``put_sharded``)."""
     sharding = NamedSharding(mesh, P(axis))
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {k: put_sharded(v, sharding) for k, v in batch.items()}
 
 
 def make_parallel_train_step(step_fn, mesh: Mesh, axis: str = "data"):
@@ -79,12 +104,20 @@ def make_parallel_train_step(step_fn, mesh: Mesh, axis: str = "data"):
     index so noise/timesteps differ across shards like independent torch
     workers.
     """
+    # check_vma/check_rep must be OFF: with the vma type system on,
+    # jax.grad inside the shard_map auto-inserts a psum for the cotangent of
+    # the replicated params (transpose of the implicit broadcast), so the
+    # step's explicit lax.pmean would then be a no-op on already-replicated
+    # grads and the update would apply the SUM of per-device grads
+    # (effective lr x n_devices).  With the check off, grads stay per-device
+    # and the documented "step_fn must pmean" contract holds.  Regression:
+    # tests/test_joint_training.py::test_parallel_grads_are_averaged_not_summed.
     try:
         from jax import shard_map as _shard_map
 
         def shard_map(f, **kw):
-            return _shard_map(f, **kw)
-    except ImportError:  # older jax: needs check_rep=False for pmean'd outs
+            return _shard_map(f, check_vma=False, **kw)
+    except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map as _shard_map
 
         def shard_map(f, **kw):

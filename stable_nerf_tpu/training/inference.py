@@ -8,8 +8,12 @@ conditions, then run a 50-step eta=0 DDIM denoise from pure noise and decode.
 Reference quirks reproduced:
   * the NeRF latent is NOT renormalized ×2−1 here, unlike training
     (train.py:371 vs :75) — kept as-is for parity;
-  * no classifier-free guidance (the CFG code is commented out in the
-    reference, train.py:396-402).
+  * no classifier-free guidance by default (the CFG code is commented out
+    in the reference, train.py:396-402, with guidance_scale=10.0 declared
+    but unused at train.py:391).  ``guidance_scale > 1`` enables a working
+    CFG — the commented reference code doubled the latents but never the
+    conditioning; here the unconditional stream zeroes the image conditioning
+    (NeRF latent + ray Plücker channels), the standard IP-Adapter negative.
 
 The whole 50-step loop is one jitted lax.scan — no per-step host round trip.
 """
@@ -34,6 +38,7 @@ def make_inference_step(
     compute_dtype=jnp.bfloat16,
     tp_axis=None,
     sp_axis=None,
+    guidance_scale: float = 1.0,
 ):
     """Build the jitted per-batch inference function.
 
@@ -43,6 +48,12 @@ def make_inference_step(
     ``tp_axis``/``sp_axis`` thread mesh axis names into the U-Net for
     tensor-/sequence-parallel serving; only meaningful under ``shard_map``
     (see ``make_sharded_inference_step``).
+
+    ``guidance_scale``: 1.0 (default) = single conditional pass, exact
+    reference parity.  > 1.0 = classifier-free guidance: each DDIM step
+    also runs the U-Net with zeroed image conditioning and extrapolates
+    ``eps = eps_uncond + s·(eps_cond − eps_uncond)`` (the reference's
+    intended-but-commented path, train.py:391-402, guidance_scale 10.0).
     """
     ts = scheduler.timesteps(num_steps)
 
@@ -81,9 +92,23 @@ def make_inference_step(
         latents = jax.random.normal(k_init, reference_lt.shape)
 
         def body(x, t):
-            eps = sd_forward(params["sd"], x, t, image_embeds, cfg.sd,
-                             compute_dtype=compute_dtype,
-                             tp_axis=tp_axis, sp_axis=sp_axis)
+            if guidance_scale != 1.0:
+                # cond ++ uncond in ONE U-Net call: identical math to two
+                # passes (samples are independent), but the doubled batch
+                # feeds the MXU 2x-larger matmuls — the measured MFU lever
+                # at batch-2 SDXL granularity (ARCHITECTURE.md perf notes).
+                eps2 = sd_forward(
+                    params["sd"], jnp.concatenate([x, x]), t,
+                    jnp.concatenate(
+                        [image_embeds, jnp.zeros_like(image_embeds)]),
+                    cfg.sd, compute_dtype=compute_dtype,
+                    tp_axis=tp_axis, sp_axis=sp_axis)
+                eps_cond, eps_uncond = jnp.split(eps2, 2, axis=0)
+                eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+            else:
+                eps = sd_forward(params["sd"], x, t, image_embeds, cfg.sd,
+                                 compute_dtype=compute_dtype,
+                                 tp_axis=tp_axis, sp_axis=sp_axis)
             x, _ = scheduler.step(eps, t, x, num_inference_steps=num_steps)
             return x, None
 
@@ -115,6 +140,7 @@ def make_sharded_inference_step(
     tp: int = 1,
     sp: int = 1,
     compute_dtype=jnp.bfloat16,
+    guidance_scale: float = 1.0,
 ):
     """Tensor-/sequence-parallel serving wrapper around the inference step.
 
@@ -140,7 +166,8 @@ def make_sharded_inference_step(
     sp_axis = "seq" if sp > 1 else None
     step = make_inference_step(cfg, scheduler, num_steps,
                                compute_dtype=compute_dtype,
-                               tp_axis=tp_axis, sp_axis=sp_axis)
+                               tp_axis=tp_axis, sp_axis=sp_axis,
+                               guidance_scale=guidance_scale)
 
     def build(params):
         params, pspecs = serving_param_specs(params, tp,

@@ -265,6 +265,16 @@ def train(
     else:
         batch_sharding = None
         global_batch = cfg.train.batch_size
+    # On a multi-host mesh each process loads + feeds only its local slice
+    # of the global batch; device_prefetch assembles the global array
+    # shard-wise (put_sharded).  Single-host: feed == global.
+    feed_batch = global_batch
+    if mesh is not None and jax.process_count() > 1:
+        if global_batch % jax.process_count():
+            raise ValueError(
+                f"global batch {global_batch} not divisible by "
+                f"{jax.process_count()} processes")
+        feed_batch = global_batch // jax.process_count()
     cur_budget = cfg.train.sample_budget
     eval_fn = jax.jit(make_eval_step(cfg, scheduler))
     infer_fn = jax.jit(make_inference_step(cfg, scheduler,
@@ -316,7 +326,7 @@ def train(
         train_metrics = []
         tracing = False
         for i, batch in enumerate(device_prefetch(
-            iterate(dataset, tr_idx, global_batch, shuffle=True,
+            iterate(dataset, tr_idx, feed_batch, shuffle=True,
                     seed=seed + epoch),
             sharding=batch_sharding,
         )):
@@ -341,10 +351,25 @@ def train(
             jax.block_until_ready(params)
             jax.profiler.stop_trace()
 
+        # Val/inference run replicated on every host (va_idx/te_idx are the
+        # same everywhere): on multi-host, host-local numpy can't be jitted
+        # together with globally-placed params, so batches are placed as
+        # mesh-replicated global arrays (every process passes identical rows).
+        def global_batch_put(batch):
+            if mesh is None or jax.process_count() == 1:
+                return batch
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import put_sharded
+
+            rep = NamedSharding(mesh, P())
+            return {k: put_sharded(v, rep) for k, v in batch.items()}
+
         val_metrics = []
         for batch in iterate(dataset, va_idx, cfg.train.batch_size):
             key, k_step = jax.random.split(key)
-            val_metrics.append(eval_fn(params, grid_state, batch, k_step))
+            val_metrics.append(eval_fn(params, grid_state,
+                                       global_batch_put(batch), k_step))
 
         def mean_of(ms, k):
             return float(np.mean([float(m[k]) for m in ms])) if ms else float("nan")
@@ -361,8 +386,9 @@ def train(
             "steps_per_sec": timer.steps_per_sec(),
         }
         history.append(record)
-        with open(metrics_path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+        if jax.process_index() == 0:   # one writer on a shared filesystem
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
         log_fn(f"epoch {epoch}: train {record['train_loss']:.4f} "
                f"val {record['val_loss']:.4f} "
                f"({record['rays_per_sec']:.0f} rays/s)")
@@ -372,7 +398,8 @@ def train(
                 and len(te_idx) > 0):
             for i, batch in enumerate(iterate(dataset, te_idx, 2)):
                 key, k_step = jax.random.split(key)
-                out = infer_fn(params, grid_state, batch, k_step)
+                out = infer_fn(params, grid_state, global_batch_put(batch),
+                               k_step)
                 log_fn(f"  inference[{i}]: psnr={np.mean(np.asarray(out['psnr'])):.2f} "
                        f"ssim={float(out['ssim']):.3f} l2={float(out['l2_loss']):.4f}")
 

@@ -11,7 +11,10 @@ def test_train_help():
                          capture_output=True, text=True, timeout=120)
     assert out.returncode == 0
     for flag in ("--inference", "--dataset", "--sdxl-checkpoint",
-                 "--sample-budget", "--tiny", "--epochs", "--lr"):
+                 "--sample-budget", "--tiny", "--epochs", "--lr",
+                 "--guidance-scale", "--distributed", "--coordinator",
+                 "--resume", "--data-parallel", "--tensor-parallel",
+                 "--sp", "--fsdp", "--remat"):
         assert flag in out.stdout
 
 
@@ -28,6 +31,20 @@ def test_run_sd_help():
     assert out.returncode == 0
     assert "--sdxl-checkpoint" in out.stdout
     assert "--sp" in out.stdout and "--tp" in out.stdout
+
+
+def test_coordinator_requires_process_topology():
+    """--coordinator without --num-processes/--process-id must fail loudly
+    BEFORE jax.distributed.initialize blocks waiting for peers."""
+    out = subprocess.run(
+        [sys.executable, "train.py", "--coordinator", "localhost:1",
+         "--tiny"],
+        capture_output=True, text=True, timeout=300,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "."},
+    )
+    assert out.returncode != 0
+    assert "--num-processes" in (out.stderr + out.stdout)
 
 
 def test_missing_dataset_message(tmp_path):

@@ -211,6 +211,48 @@ class TestDataParallel:
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                    rtol=1e-6)
 
+    def test_parallel_grads_are_averaged_not_summed(self, key):
+        """Regression: with the vma type system on, jax.grad inside
+        shard_map auto-psums the cotangent of replicated params, turning
+        the step's explicit pmean into a no-op on already-replicated grads
+        — the update would then apply the SUM of per-device grads
+        (effective lr x n_devices).  make_parallel_train_step must keep
+        grads per-device so the pmean contract holds: the DP gradient on a
+        deterministic least-squares step must equal the single-device
+        gradient over the same global batch exactly."""
+        from stable_nerf_tpu.parallel import (
+            make_mesh, make_parallel_train_step, shard_batch)
+
+        mesh = make_mesh()
+        x = jnp.arange(32, dtype=jnp.float32).reshape(8, 4) / 10.0
+        y = jnp.ones(8)
+
+        def step_fn(params, opt_state, grid_state, batch, k):
+            def loss_fn(p):
+                return jnp.mean((batch["x"] @ p["w"] - batch["y"]) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.lax.pmean(grads, "data")
+            new = jax.tree.map(lambda p, g: p - 0.1 * g, params, grads)
+            return new, opt_state, {"loss": jax.lax.pmean(loss, "data"),
+                                    "grad": grads["w"]}
+
+        pstep = make_parallel_train_step(step_fn, mesh)
+        params = {"w": jnp.zeros(4)}
+        batch = shard_batch({"x": x, "y": y}, mesh)
+        new_params, _, m = pstep(params, None, None, batch, key)
+
+        ref_grad = jax.grad(
+            lambda w: jnp.mean((x @ w - y) ** 2))(params["w"])
+        np.testing.assert_allclose(np.asarray(m["grad"]), np.asarray(ref_grad),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_params["w"]),
+                                   np.asarray(-0.1 * ref_grad), rtol=1e-5)
+        # the global-mean loss too (per-device losses averaged, not summed)
+        np.testing.assert_allclose(
+            float(m["loss"]),
+            float(jnp.mean((x @ params["w"] - y) ** 2)), rtol=1e-6)
+
 
 class TestGradAccumulation:
     def test_multisteps_applies_every_k(self, setup, key):
@@ -232,3 +274,36 @@ class TestGradAccumulation:
             not np.allclose(np.asarray(a), np.asarray(b))
             for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)))
         assert changed > 5
+
+
+class TestInferenceCFG:
+    def test_guidance_scale_one_is_single_pass_parity(self, setup, key):
+        """guidance_scale=1.0 compiles the exact single-pass reference-parity
+        graph — outputs bit-match the default builder."""
+        from stable_nerf_tpu.training.inference import make_inference_step
+
+        cfg, params, grid_state, scheduler = setup
+        batch = make_batch(key, 2)
+        base = jax.jit(make_inference_step(cfg, scheduler, num_steps=2))
+        cfg1 = jax.jit(make_inference_step(cfg, scheduler, num_steps=2,
+                                           guidance_scale=1.0))
+        a = base(params, grid_state, batch, key)
+        b = cfg1(params, grid_state, batch, key)
+        np.testing.assert_array_equal(np.asarray(a["denoised_image"]),
+                                      np.asarray(b["denoised_image"]))
+
+    def test_guidance_scale_changes_output(self, setup, key):
+        """>1 runs the dual-pass CFG (uncond = zeroed image conditioning):
+        finite output that actually differs from the unguided sample."""
+        from stable_nerf_tpu.training.inference import make_inference_step
+
+        cfg, params, grid_state, scheduler = setup
+        batch = make_batch(key, 2)
+        plain = jax.jit(make_inference_step(cfg, scheduler, num_steps=2))
+        guided = jax.jit(make_inference_step(cfg, scheduler, num_steps=2,
+                                             guidance_scale=7.5))
+        a = plain(params, grid_state, batch, key)
+        b = guided(params, grid_state, batch, key)
+        assert np.all(np.isfinite(np.asarray(b["denoised_image"])))
+        assert not np.allclose(np.asarray(a["denoised_image"]),
+                               np.asarray(b["denoised_image"]))

@@ -225,10 +225,12 @@ def test_sp_attn_map_capture_parity():
                                    rtol=2e-5, atol=2e-5)
 
 
-def test_sharded_inference_step_parity():
+@pytest.mark.parametrize("guidance_scale", [1.0, 5.0])
+def test_sharded_inference_step_parity(guidance_scale):
     """The TP×SP serving wrapper around the full DDIM inference step (NeRF
     render → condition assembly → sharded U-Net scan → decode → metrics)
-    matches the unsharded step."""
+    matches the unsharded step — with and without classifier-free guidance
+    (the CFG uncond pass must ride the same sharded U-Net)."""
     from test_joint_training import make_batch, tiny_joint_cfg
 
     from stable_nerf_tpu.models.diffusion import DDIMScheduler
@@ -250,13 +252,15 @@ def test_sharded_inference_step_parity():
 
     # f32 so the parity bound is reduction-order only
     ref_fn = jax.jit(make_inference_step(cfg, scheduler, num_steps=3,
-                                         compute_dtype=jnp.float32))
+                                         compute_dtype=jnp.float32,
+                                         guidance_scale=guidance_scale))
     want = ref_fn(params, grid_state, batch, key)
 
     mesh = make_mesh_3d(8, sp=2, tp=2)
     build = make_sharded_inference_step(cfg, scheduler, num_steps=3,
                                         mesh=mesh, tp=2, sp=2,
-                                        compute_dtype=jnp.float32)
+                                        compute_dtype=jnp.float32,
+                                        guidance_scale=guidance_scale)
     placed, fn = build(params)
     got = fn(placed, grid_state, batch, key)
 

@@ -75,6 +75,11 @@ def build_parser():
     p.add_argument("--stochastic-min-level", type=int, default=0,
                    help="with --stochastic: keep levels < this exact "
                         "(hybrid mode; coarse levels are cache-cheap)")
+    p.add_argument("--guidance-scale", type=float, default=1.0,
+                   help="with --inference: classifier-free guidance scale "
+                        "(uncond stream = zeroed image conditioning); 1.0 "
+                        "= off, exact reference parity (its CFG is "
+                        "commented out, train.py:396-402; intended 10.0)")
     p.add_argument("--sp", type=int, default=1,
                    help="with --inference: sequence-parallel axis size for "
                         "the DDIM denoise (ring attention over latent "
@@ -87,6 +92,16 @@ def build_parser():
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of a few steady-state "
                         "train steps here (view with xprof/tensorboard)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "before anything (auto-detects on TPU pod slices; "
+                        "the reference's `accelerate launch` analogue)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host off-TPU: coordinator host:port for "
+                        "jax.distributed (implies --distributed; pair with "
+                        "--num-processes/--process-id)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny model configs (smoke tests / CI; pairs with "
                         "--image-size 32 --latent-size 16)")
@@ -95,6 +110,24 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.distributed or args.coordinator:
+        # must run before any jax dispatch so every host joins the cluster
+        # and jax.devices() is the GLOBAL device list
+        import jax
+
+        kw = {}
+        if args.coordinator:
+            if args.num_processes is None or args.process_id is None:
+                sys.exit("--coordinator requires --num-processes and "
+                         "--process-id")
+            kw = dict(coordinator_address=args.coordinator,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
+        jax.distributed.initialize(**kw)
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
 
     from datetime import datetime
 
@@ -190,7 +223,8 @@ def main(argv=None):
 
     if args.inference:
         run_inference(cfg, dataset, workdir,
-                      tp=args.tensor_parallel, sp=args.sp)
+                      tp=args.tensor_parallel, sp=args.sp,
+                      guidance_scale=args.guidance_scale)
         return
     if args.sp > 1:
         sys.exit("--sp is a serving lever (use with --inference); training "
@@ -205,7 +239,8 @@ def main(argv=None):
           resume=args.resume)
 
 
-def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1):
+def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1,
+                  guidance_scale: float = 1.0):
     import jax
     import numpy as np
 
@@ -255,11 +290,13 @@ def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1):
         print(f"serving sharded: seq={sp} model={tp}")
         build = make_sharded_inference_step(
             cfg, scheduler, cfg.train.num_inference_steps,
-            mesh=make_mesh_3d(n_needed, sp=sp, tp=tp), tp=tp, sp=sp)
+            mesh=make_mesh_3d(n_needed, sp=sp, tp=tp), tp=tp, sp=sp,
+            guidance_scale=guidance_scale)
         params, infer = build(params)
     else:
-        infer = jax.jit(make_inference_step(cfg, scheduler,
-                                            cfg.train.num_inference_steps))
+        infer = jax.jit(make_inference_step(
+            cfg, scheduler, cfg.train.num_inference_steps,
+            guidance_scale=guidance_scale))
     _, _, te_idx = split_dataset(len(dataset), seed=cfg.train.seed)
 
     renders = os.path.join(workdir, "renders")
