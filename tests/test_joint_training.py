@@ -307,3 +307,37 @@ class TestInferenceCFG:
         assert np.all(np.isfinite(np.asarray(b["denoised_image"])))
         assert not np.allclose(np.asarray(a["denoised_image"]),
                                np.asarray(b["denoised_image"]))
+
+    def test_cfg_batched_pass_equals_two_passes(self, setup, key):
+        """The inference step runs cond++uncond as ONE doubled-batch U-Net
+        call (MXU utilization); samples are independent through the network,
+        so it must equal two separate sd_forward passes."""
+        from stable_nerf_tpu.models.diffusion.sd_network import sd_forward
+
+        cfg, params, grid_state, scheduler = setup
+        enc = cfg.latent_hw
+        cond_ch = cfg.nerf.channel_dim + 3
+        B = 2
+        ks = jax.random.split(key, 3)
+        x = jax.random.normal(ks[0], (B, 4, enc, enc))
+        embeds = jax.random.normal(ks[1], (2 * B, cond_ch, enc, enc))
+        t = jnp.asarray(500, dtype=jnp.int32)
+        s = 7.5
+
+        @jax.jit
+        def two_pass(p):
+            e_c = sd_forward(p, x, t, embeds, cfg.sd)
+            e_u = sd_forward(p, x, t, jnp.zeros_like(embeds), cfg.sd)
+            return e_u + s * (e_c - e_u)
+
+        @jax.jit
+        def batched(p):
+            e2 = sd_forward(
+                p, jnp.concatenate([x, x]), t,
+                jnp.concatenate([embeds, jnp.zeros_like(embeds)]), cfg.sd)
+            e_c, e_u = jnp.split(e2, 2, axis=0)
+            return e_u + s * (e_c - e_u)
+
+        np.testing.assert_allclose(np.asarray(batched(params["sd"])),
+                                   np.asarray(two_pass(params["sd"])),
+                                   rtol=2e-5, atol=2e-5)
