@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 from typing import Dict, Optional
 
 import jax
@@ -44,6 +45,26 @@ from ..utils.profiling import StepTimer
 from ..utils.pytree import partition
 
 
+def _install_sigterm_flag():
+    """Install a SIGTERM handler that only sets a flag.
+
+    TPU pods (and most cluster schedulers) deliver SIGTERM ahead of
+    eviction; the training loop polls the flag and shuts down cleanly with
+    a resumable checkpoint.  Returns ``(flag, uninstall)``; a no-op off the
+    main interpreter thread (where ``signal.signal`` would raise).
+    """
+    flag = {"set": False}
+
+    def handler(signum, frame):
+        flag["set"] = True
+
+    try:
+        prev = signal.signal(signal.SIGTERM, handler)
+    except ValueError:          # not the main interpreter thread
+        return flag, lambda: None
+    return flag, lambda: signal.signal(signal.SIGTERM, prev)
+
+
 def train(
     cfg: JointConfig,
     dataset: StableNeRFDataset,
@@ -61,6 +82,13 @@ def train(
     profile_dir: Optional[str] = None,
 ):
     """Run joint training; returns (params, grid_state, metrics_history).
+
+    Preemption-safe (beyond the reference, which pickles once at the very
+    end, train.py:303-308): SIGTERM sets a flag; the loop stops at the next
+    batch boundary, saves a resumable checkpoint, and exits cleanly so
+    ``--resume`` continues.  On multi-host every process agrees on the flag
+    via a collective before stopping — a lone early exit would deadlock the
+    other processes' collectives.
 
     With ``data_parallel=True`` (or an explicit ``mesh``), the train step is
     shard_map'd over a 1-D ``data`` mesh — params/optimizer/grid replicated,
@@ -95,6 +123,35 @@ def train(
     is replicated below; under TP/FSDP it restores directly into the
     production shardings through an abstract template (each host reads
     only its own shards)."""
+    preempt_flag, uninstall = _install_sigterm_flag()
+    try:
+        return _train_impl(
+            cfg, dataset, workdir=workdir, seed=seed, epochs=epochs,
+            pretrained_sd=pretrained_sd, log_fn=log_fn,
+            data_parallel=data_parallel, tensor_parallel=tensor_parallel,
+            fsdp=fsdp, mesh=mesh, resume=resume, profile_dir=profile_dir,
+            preempt_flag=preempt_flag)
+    finally:
+        uninstall()
+
+
+def _train_impl(
+    cfg: JointConfig,
+    dataset: StableNeRFDataset,
+    *,
+    workdir: str,
+    seed: int,
+    epochs: Optional[int],
+    pretrained_sd: Optional[Dict],
+    log_fn,
+    data_parallel: bool,
+    tensor_parallel: int,
+    fsdp: bool,
+    mesh,
+    resume: bool,
+    profile_dir: Optional[str],
+    preempt_flag: Dict,
+):
     os.makedirs(workdir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
     k_sd, k_nerf, key = jax.random.split(key, 3)
@@ -306,6 +363,20 @@ def train(
         # timestep / perturbation draws)
         key = jax.random.fold_in(key, start_epoch)
 
+    preempted = False
+    n_proc = jax.process_count()
+
+    def should_stop():
+        """Poll the SIGTERM flag; multi-host processes agree collectively
+        (signals land on hosts at different times — a lone early exit would
+        hang everyone else's next collective)."""
+        if n_proc == 1:
+            return preempt_flag["set"]
+        from jax.experimental import multihost_utils
+
+        return bool(np.any(multihost_utils.process_allgather(
+            np.asarray(preempt_flag["set"]))))
+
     for epoch in range(start_epoch, epochs):
         key, k_grid = jax.random.split(key)
         grid_state = update_fn(grid_state, params, k_grid)
@@ -330,6 +401,9 @@ def train(
                     seed=seed + epoch),
             sharding=batch_sharding,
         )):
+            if should_stop():
+                preempted = True
+                break
             # profile a few steady-state steps of the first epoch (step 0
             # is the compile; xprof/tensorboard reads the dump)
             if profile_dir and epoch == start_epoch:
@@ -350,6 +424,21 @@ def train(
         if tracing:          # epoch shorter than the trace window
             jax.block_until_ready(params)
             jax.profiler.stop_trace()
+
+        if preempted:
+            # save mid-epoch state as a resumable checkpoint (the epoch is
+            # incomplete, so it re-runs on --resume) unless one at least
+            # this fresh already exists (orbax refuses duplicate steps)
+            latest = ckpt.latest_step()
+            if latest is None or latest < epoch:
+                ckpt.save(epoch, params, opt_state, grid_state,
+                          extra={"epoch": epoch}, wait=True)
+                log_fn(f"preempted (SIGTERM): resumable checkpoint saved; "
+                       f"epoch {epoch} re-runs on --resume")
+            else:
+                log_fn(f"preempted (SIGTERM): checkpoint step {latest} "
+                       f"already current; exiting cleanly")
+            break
 
         # Val/inference run replicated on every host (va_idx/te_idx are the
         # same everywhere): on multi-host, host-local numpy can't be jitted
@@ -408,7 +497,7 @@ def train(
             ckpt.save(epoch + 1, params, opt_state, grid_state,
                       extra={"epoch": epoch + 1})
 
-    if epochs > start_epoch:
+    if epochs > start_epoch and not preempted:
         # skip when no epoch ran: a resume with nothing left to do must not
         # rewrite (or, with epochs < the recorded epoch, mislabel) the
         # checkpoint it just restored

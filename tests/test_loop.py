@@ -419,3 +419,69 @@ def test_train_loop_auto_budget(synthetic_nerf_root, tmp_path):
     assert len(history) == 2
     for rec in history:
         assert np.isfinite(rec["train_loss"])
+
+
+def test_train_loop_preemption_checkpoint(synthetic_nerf_root, tmp_path):
+    """Preemption safety (beyond the reference, which has no notion of it):
+    a real SIGTERM mid-training makes the loop save a resumable checkpoint
+    and return cleanly instead of dying; --resume then finishes the job.
+    The signal is delivered by a timer thread to this very process, so the
+    handler install/uninstall path in train() is what's exercised."""
+    import signal
+    import threading
+
+    from stable_nerf_tpu.config import (
+        HashGridConfig, NeRFConfig, SDConfig, TrainConfig,
+    )
+    from stable_nerf_tpu.data.dataset import StableNeRFDataset
+    from stable_nerf_tpu.models.diffusion.sd_network import SDNetworkConfig
+    from stable_nerf_tpu.models.diffusion.unet import tiny_unet_config
+    from stable_nerf_tpu.models.diffusion.vae import VAEConfig
+    from stable_nerf_tpu.training.joint import JointConfig
+    from stable_nerf_tpu.training.loop import train
+
+    cfg = JointConfig(
+        nerf=NeRFConfig(channel_dim=4, grid_size=16,
+                        encoding_sigma=HashGridConfig(n_levels=2,
+                                                      log2_hashmap_size=8,
+                                                      base_resolution=4)),
+        sd=SDNetworkConfig(
+            sd=SDConfig(num_tokens=2, cross_attention_dim=48, latent_size=16,
+                        image_size=32),
+            unet=tiny_unet_config(),
+            vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                          norm_groups=8),
+        ),
+        train=TrainConfig(batch_size=2, max_steps_train=16, max_steps_eval=16,
+                          inference_every=0, checkpoint_every=0),
+    )
+    ds = StableNeRFDataset("nerf", shape=32, encoded_shape=16,
+                           root=synthetic_nerf_root)
+    workdir = str(tmp_path / "work_preempt")
+
+    prev = signal.getsignal(signal.SIGTERM)
+    timer = threading.Timer(5.0, os.kill, (os.getpid(), signal.SIGTERM))
+    timer.start()
+    logs = []
+    try:
+        # 50 epochs would take minutes; the SIGTERM must cut it short
+        _, _, history = train(cfg, ds, workdir=workdir, epochs=50,
+                              log_fn=logs.append)
+    finally:
+        timer.cancel()
+    assert len(history) < 50
+    assert any("preempted" in str(m) for m in logs)
+    # train() restored the previous handler on the way out
+    assert signal.getsignal(signal.SIGTERM) is prev
+    ckpts = os.listdir(os.path.join(workdir, "checkpoints"))
+    assert len(ckpts) >= 1
+
+    # resume completes the job from the saved state
+    logs2 = []
+    _, _, hist2 = train(cfg, ds, workdir=workdir,
+                        epochs=len(history) + 1, resume=True,
+                        log_fn=logs2.append)
+    assert any("resumed from checkpoint" in str(m) for m in logs2)
+    assert len(hist2) >= 1
+    for rec in hist2:
+        assert np.isfinite(rec["train_loss"])
