@@ -212,6 +212,14 @@ class TrainConfig:
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
     grad_accum_steps: int = 1
+    # optional lr schedule (beyond the reference's constant AdamW,
+    # train.py:179-183; "constant" = exact parity).  Motivated by the fit
+    # harness: exponential decay was worth +3 dB PSNR over constant lr on
+    # the NeRF (FIT_LOG.md).  Decay runs over lr_decay_steps optimizer
+    # steps, ending at lr × lr_decay_factor.
+    lr_schedule: str = "constant"        # constant | exponential | cosine
+    lr_decay_steps: int = 100_000
+    lr_decay_factor: float = 0.1
     seed: int = 0
     max_steps_train: int = 256
     max_steps_eval: int = 512

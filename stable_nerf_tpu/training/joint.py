@@ -221,9 +221,25 @@ def make_eval_step(cfg: JointConfig, scheduler: DDIMScheduler):
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW(lr, wd) as the reference configures it (train.py:177-183),
     with optional gradient accumulation (the reference's
-    accelerator.accumulate surface, train.py:202) via optax.MultiSteps."""
+    accelerator.accumulate surface, train.py:202) via optax.MultiSteps.
+
+    ``cfg.lr_schedule`` selects an optional decay (default "constant" =
+    exact reference parity); exponential decay measured +3 dB over
+    constant lr on the NeRF fit harness (FIT_LOG.md)."""
+    if cfg.lr_schedule == "constant":
+        lr = cfg.lr
+    elif cfg.lr_schedule == "exponential":
+        lr = optax.exponential_decay(cfg.lr, cfg.lr_decay_steps,
+                                     cfg.lr_decay_factor)
+    elif cfg.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(cfg.lr, cfg.lr_decay_steps,
+                                         alpha=cfg.lr_decay_factor)
+    else:
+        raise ValueError(
+            f"unknown lr_schedule {cfg.lr_schedule!r} "
+            "(constant | exponential | cosine)")
     opt = optax.adamw(
-        learning_rate=cfg.lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
+        learning_rate=lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
         eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
     )
     if cfg.grad_accum_steps > 1:

@@ -14,7 +14,7 @@ def test_train_help():
                  "--sample-budget", "--tiny", "--epochs", "--lr",
                  "--guidance-scale", "--distributed", "--coordinator",
                  "--resume", "--data-parallel", "--tensor-parallel",
-                 "--sp", "--fsdp", "--remat"):
+                 "--sp", "--fsdp", "--remat", "--lr-schedule"):
         assert flag in out.stdout
 
 

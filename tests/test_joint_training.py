@@ -276,6 +276,33 @@ class TestGradAccumulation:
         assert changed > 5
 
 
+class TestLRSchedule:
+    def test_exponential_decay_shrinks_updates(self):
+        """Opt-in lr decay (constant = reference parity): with Adam
+        normalizing the gradient, the update magnitude tracks the schedule,
+        so after 2x decay_steps of exponential(factor 0.01) the step must
+        have shrunk ~100x per decay period."""
+        import dataclasses
+
+        from stable_nerf_tpu.config import TrainConfig
+        from stable_nerf_tpu.training.joint import make_optimizer
+
+        cfg = TrainConfig(lr=1e-2, weight_decay=0.0,
+                          lr_schedule="exponential",
+                          lr_decay_steps=10, lr_decay_factor=0.01)
+        opt = make_optimizer(cfg)
+        params = {"w": jnp.ones(4)}
+        state = opt.init(params)
+        g = {"w": jnp.ones(4)}
+        sizes = []
+        for _ in range(20):
+            upd, state = opt.update(g, state, params)
+            sizes.append(float(jnp.abs(upd["w"]).max()))
+        assert sizes[-1] < sizes[0] * 0.05
+        with pytest.raises(ValueError):
+            make_optimizer(dataclasses.replace(cfg, lr_schedule="nope"))
+
+
 class TestInferenceCFG:
     def test_guidance_scale_one_is_single_pass_parity(self, setup, key):
         """guidance_scale=1.0 compiles the exact single-pass reference-parity

