@@ -107,3 +107,64 @@ class TestStep:
 
         out = denoise(x)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestExternalGolden:
+    """Fixtures from an independent float64 torch transcription of the
+    published DDIM equations (scripts/make_ddim_golden.py) — the external
+    oracle standing in for diffusers' DDIMScheduler, which the reference
+    consumes (stable_diffusion/network.py:26-28) but which is not installed
+    here.  A set_timesteps / final-alpha / betas divergence that survives
+    the self-consistency tests above fails here."""
+
+    @classmethod
+    def setup_class(cls):
+        import os
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "ddim_golden.npz")
+        cls.g = np.load(path)
+
+    def test_alphas_cumprod_table(self):
+        s = make()
+        # scheduler computes in float64 then casts; the fixture is float64 —
+        # agreement must be exact at float32 resolution across all 1000 t
+        np.testing.assert_array_equal(
+            np.asarray(s.alphas_cumprod),
+            self.g["alphas_cumprod"].astype(np.float32))
+
+    def test_final_alpha(self):
+        s = make()
+        np.testing.assert_array_equal(
+            np.float32(s.final_alpha_cumprod),
+            self.g["final_alpha_cumprod"].astype(np.float32))
+
+    def test_timestep_table_50(self):
+        s = make()
+        np.testing.assert_array_equal(s.timesteps(50), self.g["timesteps_50"])
+
+    def test_single_steps_at_probe_timesteps(self):
+        """t ∈ {981, 501, 1}: step() matches the float64 oracle to float32
+        rounding (our step computes in float32; the tolerance covers only
+        the accumulation difference, ~1e-6 relative)."""
+        s = make()
+        for i, t in enumerate(self.g["probe_ts"]):
+            x_t = jnp.asarray(self.g["step_samples"][i], jnp.float32)
+            eps = jnp.asarray(self.g["step_model_outputs"][i], jnp.float32)
+            x_prev, pred_x0 = s.step(eps, jnp.asarray(int(t)), x_t,
+                                     num_inference_steps=50)
+            np.testing.assert_allclose(
+                np.asarray(x_prev), self.g["step_prev_samples"][i],
+                rtol=2e-6, atol=2e-6)
+            np.testing.assert_allclose(
+                np.asarray(pred_x0), self.g["step_pred_x0"][i],
+                rtol=2e-5, atol=2e-5)
+
+    def test_add_noise_at_probe_timesteps(self):
+        s = make()
+        noisy = s.add_noise(
+            jnp.asarray(self.g["add_noise_x0"], jnp.float32),
+            jnp.asarray(self.g["add_noise_noise"], jnp.float32),
+            jnp.asarray(self.g["probe_ts"]))
+        np.testing.assert_allclose(np.asarray(noisy),
+                                   self.g["add_noise_noisy"],
+                                   rtol=2e-6, atol=2e-6)
