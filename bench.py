@@ -134,6 +134,28 @@ def bench_nerf_eval():
     return dt * 1e3
 
 
+# bf16 peak FLOP/s by device_kind (public spec sheets).  ADVICE r2: the MFU
+# denominator must be recorded per detected platform, not hardcoded — the
+# axon tunnel fronts a "TPU v5 lite" (v5e, 197 TFLOP/s bf16).
+PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,          # v5p
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def detect_peak_flops():
+    """(device_kind, peak bf16 FLOP/s or None if unknown)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    return kind, PEAK_BF16_FLOPS.get(kind)
+
+
 def bench_sd_denoise(n_steps: int = 10):
     """Full SDXL-base U-Net + IP-Adapter denoise, batch 2, 64² latents, bf16.
 
@@ -198,10 +220,10 @@ def bench_sd_denoise(n_steps: int = 10):
                              jax.block_until_ready, n_blocks=3, n_iters=2)
     dt_step = dt_scan / n_steps
     mfu = None
-    if flops_per_step:
-        peak = 197e12                                        # v5e bf16 peak
+    kind, peak = detect_peak_flops()
+    if flops_per_step and peak:
         mfu = flops_per_step / dt_step / peak
-    return 1.0 / dt_step, dt_step * 1e3, mfu
+    return 1.0 / dt_step, dt_step * 1e3, mfu, kind, peak, flops_per_step
 
 
 def bench_joint_step(stochastic: bool = False):
@@ -347,13 +369,18 @@ def main():
             log(f"  eval render bench failed: {e}")
         try:
             log("bench: SDXL U-Net denoise…")
-            sps, ms, mfu = bench_sd_denoise()
+            sps, ms, mfu, kind, peak, flops = bench_sd_denoise()
             extras["sd_denoise_steps_per_sec"] = round(sps, 2)
             extras["sd_denoise_ms_per_step"] = round(ms, 2)
+            extras["device_kind"] = kind
+            if peak:
+                extras["peak_bf16_tflops_assumed"] = round(peak / 1e12, 1)
+            if flops:
+                extras["sd_denoise_gflops_per_step"] = round(flops / 1e9, 1)
             if mfu is not None:
                 extras["sd_denoise_mfu"] = round(mfu, 4)
             log(f"  {ms:.1f} ms/step ({sps:.1f} steps/s, "
-                f"mfu={extras.get('sd_denoise_mfu')})")
+                f"mfu={extras.get('sd_denoise_mfu')} on {kind})")
         except Exception as e:
             log(f"  sd denoise bench failed: {e}")
         try:

@@ -111,12 +111,18 @@ def clip_text_init(key, cfg: CLIPTextConfig, dtype=jnp.float32) -> Dict:
     return params
 
 
-def params_from_hf_state_dict(state_dict, cfg: CLIPTextConfig) -> Dict:
+def params_from_hf_state_dict(state_dict, cfg: CLIPTextConfig,
+                              strict: bool = False) -> Dict:
     """Convert a torch CLIPTextModel(WithProjection) state_dict to our tree.
 
-    Linear weights are transposed ([out, in] → [in, out]).
+    Linear weights are transposed ([out, in] → [in, out]).  ``strict``
+    asserts every checkpoint key was consumed (``position_ids`` buffers,
+    emitted by older transformers versions, are ignored).
     """
+    used = set()
+
     def t(name):
+        used.add(name)
         w = state_dict[name]
         arr = np.asarray(w.detach().cpu().numpy() if hasattr(w, "detach") else w)
         return jnp.asarray(arr, jnp.float32)
@@ -149,6 +155,14 @@ def params_from_hf_state_dict(state_dict, cfg: CLIPTextConfig) -> Dict:
     }
     if cfg.projection_dim and "text_projection.weight" in state_dict:
         params["text_projection"] = t("text_projection.weight").T
+    if strict:
+        unused = {k for k in state_dict if k not in used
+                  and not k.endswith("position_ids")
+                  and k != "logit_scale"}
+        if unused:
+            raise ValueError(
+                f"CLIP text: {len(unused)} checkpoint key(s) not consumed — "
+                f"config/naming mismatch? e.g. {sorted(unused)[:10]}")
     return params
 
 

@@ -17,18 +17,23 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .unet import UNetConfig
-from .vae import VAEConfig
+from .unet import UNetConfig, unet_init
+from .vae import VAEConfig, vae_init
 
 
 def _to_jnp(x):
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
+    if isinstance(x, jax.core.Tracer):
+        # abstract conversion path: lets the whole converter run under
+        # jax.eval_shape for zero-memory full-config coverage tests
+        return x.astype(jnp.float32)
     return jnp.asarray(np.asarray(x), jnp.float32)
 
 
@@ -52,7 +57,15 @@ class _SD:
 
     def t(self, key):
         self.used.add(key)
-        return _to_jnp(self.sd[key])
+        try:
+            return _to_jnp(self.sd[key])
+        except KeyError:
+            near = sorted(k for k in self.sd
+                          if k.rsplit(".", 2)[0] == key.rsplit(".", 2)[0])
+            raise KeyError(
+                f"checkpoint is missing key {key!r}"
+                + (f"; keys with the same parent: {near[:6]}" if near else "")
+            ) from None
 
     def lin(self, prefix, transpose=True):
         p = {"kernel": self.t(prefix + ".weight")}
@@ -74,13 +87,31 @@ class _SD:
     def has(self, key):
         return key in self.sd
 
+    def check_all_used(self, what: str, ignore: Tuple[str, ...] = ()):
+        """Raise if the checkpoint held keys the converter never consumed.
+
+        This is the guard VERDICT r2 (next #3a) asks for: a renamed
+        diffusers key (they do rename across versions) must fail loudly at
+        load time, not silently leave random init in the tree."""
+        unused = {k for k in self.sd if k not in self.used
+                  and not any(k == ig or k.startswith(ig + ".")
+                              or k.endswith("." + ig) for ig in ignore)}
+        if unused:
+            sample = sorted(unused)[:10]
+            raise ValueError(
+                f"{what}: {len(unused)} checkpoint key(s) were not consumed "
+                f"by the converter — config/naming mismatch? e.g. {sample}")
+
 
 # ---------------------------------------------------------------------------
 # VAE
 # ---------------------------------------------------------------------------
 
-def vae_params_from_state_dict(sd: Dict, cfg: VAEConfig = VAEConfig()) -> Dict:
-    """diffusers AutoencoderKL state_dict → vae.py param tree."""
+def vae_params_from_state_dict(sd: Dict, cfg: VAEConfig = VAEConfig(),
+                               strict: bool = False) -> Dict:
+    """diffusers AutoencoderKL state_dict → vae.py param tree.
+
+    ``strict`` additionally asserts every checkpoint key was consumed."""
     s = _SD(sd)
 
     def resnet(prefix):
@@ -139,7 +170,7 @@ def vae_params_from_state_dict(sd: Dict, cfg: VAEConfig = VAEConfig()) -> Dict:
                 f"decoder.up_blocks.{i}.upsamplers.0.conv")
         dec_blocks.append(block)
 
-    return {
+    out = {
         "encoder": {
             "conv_in": s.conv("encoder.conv_in"),
             "down_blocks": enc_blocks,
@@ -157,6 +188,9 @@ def vae_params_from_state_dict(sd: Dict, cfg: VAEConfig = VAEConfig()) -> Dict:
             "conv_out": s.conv("decoder.conv_out"),
         },
     }
+    if strict:
+        s.check_all_used("VAE")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -164,13 +198,16 @@ def vae_params_from_state_dict(sd: Dict, cfg: VAEConfig = VAEConfig()) -> Dict:
 # ---------------------------------------------------------------------------
 
 def unet_params_from_state_dict(
-    sd: Dict, cfg: UNetConfig = UNetConfig(), with_ip: bool = True
+    sd: Dict, cfg: UNetConfig = UNetConfig(), with_ip: bool = True,
+    strict: bool = False,
 ) -> Dict:
     """diffusers UNet2DConditionModel state_dict → unet.py param tree.
 
     When ``with_ip`` and the state dict has no ip weights, to_k_ip/to_v_ip
     are initialized from to_k/to_v — the reference's init
     (stable_diffusion/network.py:104-110).
+
+    ``strict`` additionally asserts every checkpoint key was consumed.
     """
     s = _SD(sd)
 
@@ -249,7 +286,7 @@ def unet_params_from_state_dict(
             block["upsample"] = s.conv(f"up_blocks.{i}.upsamplers.0.conv")
         up.append(block)
 
-    return {
+    out = {
         "conv_in": s.conv("conv_in"),
         "time_embedding": {
             "linear_1": s.lin("time_embedding.linear_1"),
@@ -267,9 +304,265 @@ def unet_params_from_state_dict(
                                        cfg.transformer_layers[-1])]
             if cfg.transformer_layers[-1] > 0 else [],
         },
+        "up_blocks": up,
         "conv_norm_out": s.norm("conv_norm_out"),
         "conv_out": s.conv("conv_out"),
     }
+    if strict:
+        s.check_all_used("U-Net")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# export (our tree → diffusers naming) and key-manifest templates
+# ---------------------------------------------------------------------------
+
+def export_unet_state_dict(params: Dict, cfg: UNetConfig = UNetConfig(),
+                           include_ip: bool = True) -> Dict:
+    """Inverse of :func:`unet_params_from_state_dict`: flatten a unet param
+    tree into a diffusers-named state dict (linears back to [out, in]).
+
+    Uses: saving trained to_k_ip/to_v_ip in a diffusers-consumable layout,
+    round-trip tests, and — under ``jax.eval_shape`` — generating the exact
+    key manifest a real SDXL checkpoint must provide (tests/fixtures/
+    sdxl_unet_keys.json)."""
+    sd: Dict = {}
+
+    def put_lin(name, p):
+        sd[name + ".weight"] = p["kernel"].T
+        if "bias" in p:
+            sd[name + ".bias"] = p["bias"]
+
+    def put_conv(name, p):
+        sd[name + ".weight"] = p["kernel"]
+        sd[name + ".bias"] = p["bias"]
+
+    def put_norm(name, p):
+        sd[name + ".weight"] = p["scale"]
+        sd[name + ".bias"] = p["bias"]
+
+    def put_resnet(name, p):
+        put_norm(name + ".norm1", p["norm1"])
+        put_conv(name + ".conv1", p["conv1"])
+        put_lin(name + ".time_emb_proj", p["time_emb_proj"])
+        put_norm(name + ".norm2", p["norm2"])
+        put_conv(name + ".conv2", p["conv2"])
+        if "conv_shortcut" in p:
+            put_conv(name + ".conv_shortcut", p["conv_shortcut"])
+
+    def put_attn(name, p):
+        for n in ("to_q", "to_k", "to_v"):
+            put_lin(name + "." + n, p[n])
+        put_lin(name + ".to_out.0", p["to_out"])
+        if include_ip and "to_k_ip" in p:
+            put_lin(name + ".to_k_ip", p["to_k_ip"])
+            put_lin(name + ".to_v_ip", p["to_v_ip"])
+
+    def put_transformer(name, p):
+        put_norm(name + ".norm", p["norm"])
+        put_lin(name + ".proj_in", p["proj_in"])
+        for d, blk in enumerate(p["blocks"]):
+            bp = f"{name}.transformer_blocks.{d}"
+            put_norm(bp + ".norm1", blk["norm1"])
+            put_attn(bp + ".attn1", blk["attn1"])
+            put_norm(bp + ".norm2", blk["norm2"])
+            put_attn(bp + ".attn2", blk["attn2"])
+            put_norm(bp + ".norm3", blk["norm3"])
+            put_lin(bp + ".ff.net.0.proj", blk["ff_geglu"])
+            put_lin(bp + ".ff.net.2", blk["ff_out"])
+        put_lin(name + ".proj_out", p["proj_out"])
+
+    put_conv("conv_in", params["conv_in"])
+    for nm in ("time_embedding", "add_embedding"):
+        put_lin(f"{nm}.linear_1", params[nm]["linear_1"])
+        put_lin(f"{nm}.linear_2", params[nm]["linear_2"])
+    for i, block in enumerate(params["down_blocks"]):
+        for j, r in enumerate(block["resnets"]):
+            put_resnet(f"down_blocks.{i}.resnets.{j}", r)
+        for j, a in enumerate(block["attentions"]):
+            put_transformer(f"down_blocks.{i}.attentions.{j}", a)
+        if "downsample" in block:
+            put_conv(f"down_blocks.{i}.downsamplers.0.conv",
+                     block["downsample"])
+    for j, r in enumerate(params["mid_block"]["resnets"]):
+        put_resnet(f"mid_block.resnets.{j}", r)
+    for j, a in enumerate(params["mid_block"]["attentions"]):
+        put_transformer(f"mid_block.attentions.{j}", a)
+    for i, block in enumerate(params["up_blocks"]):
+        for j, r in enumerate(block["resnets"]):
+            put_resnet(f"up_blocks.{i}.resnets.{j}", r)
+        for j, a in enumerate(block["attentions"]):
+            put_transformer(f"up_blocks.{i}.attentions.{j}", a)
+        if "upsample" in block:
+            put_conv(f"up_blocks.{i}.upsamplers.0.conv", block["upsample"])
+    put_norm("conv_norm_out", params["conv_norm_out"])
+    put_conv("conv_out", params["conv_out"])
+    return sd
+
+
+def export_vae_state_dict(params: Dict, cfg: VAEConfig = VAEConfig()) -> Dict:
+    """Inverse of :func:`vae_params_from_state_dict` (diffusers naming).
+
+    VAE attention linears are stored untransposed in our tree (vae.py
+    applies ``kernel.T``), so they export as-is."""
+    sd: Dict = {}
+
+    def put_conv(name, p):
+        sd[name + ".weight"] = p["kernel"]
+        sd[name + ".bias"] = p["bias"]
+
+    def put_norm(name, p):
+        sd[name + ".weight"] = p["scale"]
+        sd[name + ".bias"] = p["bias"]
+
+    def put_resnet(name, p):
+        put_norm(name + ".norm1", p["norm1"])
+        put_conv(name + ".conv1", p["conv1"])
+        put_norm(name + ".norm2", p["norm2"])
+        put_conv(name + ".conv2", p["conv2"])
+        if "conv_shortcut" in p:
+            put_conv(name + ".conv_shortcut", p["conv_shortcut"])
+
+    def put_attn(name, p):
+        put_norm(name + ".group_norm", p["group_norm"])
+        for n in ("to_q", "to_k", "to_v"):
+            sd[f"{name}.{n}.weight"] = p[n]["kernel"]
+            sd[f"{name}.{n}.bias"] = p[n]["bias"]
+        sd[name + ".to_out.0.weight"] = p["to_out"]["kernel"]
+        sd[name + ".to_out.0.bias"] = p["to_out"]["bias"]
+
+    def put_mid(name, p):
+        put_resnet(name + ".resnets.0", p["resnets"][0])
+        put_attn(name + ".attentions.0", p["attentions"][0])
+        put_resnet(name + ".resnets.1", p["resnets"][1])
+
+    enc = params["encoder"]
+    put_conv("encoder.conv_in", enc["conv_in"])
+    for i, block in enumerate(enc["down_blocks"]):
+        for j, r in enumerate(block["resnets"]):
+            put_resnet(f"encoder.down_blocks.{i}.resnets.{j}", r)
+        if "downsample" in block:
+            put_conv(f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                     block["downsample"])
+    put_mid("encoder.mid_block", enc["mid"])
+    put_norm("encoder.conv_norm_out", enc["norm_out"])
+    put_conv("encoder.conv_out", enc["conv_out"])
+    put_conv("quant_conv", params["quant_conv"])
+    put_conv("post_quant_conv", params["post_quant_conv"])
+    dec = params["decoder"]
+    put_conv("decoder.conv_in", dec["conv_in"])
+    put_mid("decoder.mid_block", dec["mid"])
+    for i, block in enumerate(dec["up_blocks"]):
+        for j, r in enumerate(block["resnets"]):
+            put_resnet(f"decoder.up_blocks.{i}.resnets.{j}", r)
+        if "upsample" in block:
+            put_conv(f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                     block["upsample"])
+    put_norm("decoder.conv_norm_out", dec["norm_out"])
+    put_conv("decoder.conv_out", dec["conv_out"])
+    return sd
+
+
+def unet_state_dict_template(cfg: UNetConfig = UNetConfig(),
+                             with_ip: bool = False) -> Dict:
+    """{key: ShapeDtypeStruct} a diffusers checkpoint must provide for
+    ``cfg`` — computed abstractly (zero memory) at any config size.
+    ``with_ip=False`` is the shape of a stock SDXL `unet/` checkpoint."""
+    return jax.eval_shape(lambda: export_unet_state_dict(
+        unet_init(jax.random.PRNGKey(0), cfg, with_ip=with_ip), cfg))
+
+
+def vae_state_dict_template(cfg: VAEConfig = VAEConfig()) -> Dict:
+    """{key: ShapeDtypeStruct} a diffusers `vae/` checkpoint must provide."""
+    return jax.eval_shape(lambda: export_vae_state_dict(
+        vae_init(jax.random.PRNGKey(0), cfg), cfg))
+
+
+def read_state_dict_shapes(path: str) -> Dict[str, Tuple[int, ...]]:
+    """Key → shape map of a checkpoint file.  For .safetensors this reads
+    only the header (no tensor bytes) — cheap enough to gate startup on."""
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        with safe_open(path, framework="numpy") as f:
+            return {k: tuple(f.get_slice(k).get_shape()) for k in f.keys()}
+    sd = load_state_dict(path)
+    return {k: tuple(v.shape) for k, v in sd.items()}
+
+
+def precheck_sdxl_checkpoint(checkpoint_dir: str,
+                             unet_cfg: UNetConfig = UNetConfig(),
+                             vae_cfg: VAEConfig = VAEConfig()) -> None:
+    """Fast sanity gate for ``--sdxl-checkpoint`` startup (VERDICT r2,
+    next #3c): diff the checkpoint's key/shape header against the exact
+    templates the converter expects, BEFORE spending minutes loading
+    tensors.  Raises ValueError with the full diff on any mismatch.
+
+    IP-adapter keys (``to_k_ip``/``to_v_ip``) are optional in the
+    checkpoint — stock SDXL lacks them and the converter then clones
+    to_k/to_v (reference stable_diffusion/network.py:104-110)."""
+    problems = []
+    for sub, template in [
+        ("unet", unet_state_dict_template(unet_cfg, with_ip=False)),
+        ("vae", vae_state_dict_template(vae_cfg)),
+    ]:
+        d = os.path.join(checkpoint_dir, sub)
+        path = next(
+            (os.path.join(d, n) for n in
+             ("diffusion_pytorch_model.safetensors",
+              "diffusion_pytorch_model.bin")
+             if os.path.exists(os.path.join(d, n))), None)
+        if path is None:
+            problems.append(f"{sub}: no weights file under {d}")
+            continue
+        got = read_state_dict_shapes(path)
+        expect = {k: tuple(v.shape) for k, v in template.items()}
+        if sub == "unet":
+            with_ip = unet_state_dict_template(unet_cfg, with_ip=True)
+            optional = {k: tuple(v.shape) for k, v in with_ip.items()
+                        if k not in expect}
+        else:
+            optional = {}
+        missing = sorted(set(expect) - set(got))
+        extra = sorted(k for k in got if k not in expect and k not in optional)
+        bad_shape = sorted(
+            f"{k}: got {got[k]}, want {(expect | optional)[k]}"
+            for k in got
+            if k in (expect | optional) and got[k] != (expect | optional)[k])
+        if missing:
+            problems.append(f"{sub}: {len(missing)} missing key(s), "
+                            f"e.g. {missing[:5]}")
+        if extra:
+            problems.append(f"{sub}: {len(extra)} unexpected key(s), "
+                            f"e.g. {extra[:5]}")
+        if bad_shape:
+            problems.append(f"{sub}: {len(bad_shape)} shape mismatch(es), "
+                            f"e.g. {bad_shape[:5]}")
+    if problems:
+        raise ValueError(
+            "SDXL checkpoint precheck failed for "
+            f"{checkpoint_dir}:\n  " + "\n  ".join(problems))
+
+
+def assert_tree_matches(params: Dict, expect: Dict, what: str) -> None:
+    """Assert a converted tree has exactly the structure + leaf shapes of
+    the random-init tree — the 'every leaf filled' half of the strict
+    loading contract (VERDICT r2, next #3a)."""
+    g_leaves = jax.tree.leaves_with_path(params)
+    e_leaves = jax.tree.leaves_with_path(expect)
+    g_paths = [jax.tree_util.keystr(p) for p, _ in g_leaves]
+    e_paths = [jax.tree_util.keystr(p) for p, _ in e_leaves]
+    if g_paths != e_paths:
+        missing = sorted(set(e_paths) - set(g_paths))[:10]
+        extra = sorted(set(g_paths) - set(e_paths))[:10]
+        raise ValueError(
+            f"{what}: converted tree structure differs from init — "
+            f"missing leaves {missing}, unexpected leaves {extra}")
+    for (path, g), (_, e) in zip(g_leaves, e_leaves):
+        if tuple(g.shape) != tuple(e.shape):
+            raise ValueError(
+                f"{what}: leaf {jax.tree_util.keystr(path)} has shape "
+                f"{tuple(g.shape)}, expected {tuple(e.shape)}")
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +573,8 @@ def load_sdxl(checkpoint_dir: str, *, with_ip: bool = True,
               with_text_encoders: bool = True,
               unet_cfg: UNetConfig = UNetConfig(),
               vae_cfg: VAEConfig = VAEConfig(),
-              text_cfg_1=None, text_cfg_2=None) -> Dict:
+              text_cfg_1=None, text_cfg_2=None,
+              strict: bool = True) -> Dict:
     """Load VAE + U-Net (+ both CLIP text towers) from an SDXL checkpoint
     directory laid out like the HF hub repo (vae/…, unet/…, text_encoder/…,
     text_encoder_2/… with safetensors or bin files).
@@ -290,7 +584,12 @@ def load_sdxl(checkpoint_dir: str, *, with_ip: bool = True,
     the training loop pops them from this dict, runs
     ``clip_text.make_empty_prompt_conditioning``, and discards them so they
     never enter the jitted train step.  Missing text_encoder dirs degrade
-    gracefully (returned dict simply lacks those keys)."""
+    gracefully (returned dict simply lacks those keys).
+
+    ``strict`` (default ON — a real-checkpoint load must fail loudly, not
+    leave random init in place): every state-dict key must be consumed by
+    the converters AND every converted tree must structurally match the
+    random-init tree leaf-for-leaf with identical shapes."""
 
     def find_weights(sub, names):
         d = os.path.join(checkpoint_dir, sub)
@@ -310,10 +609,20 @@ def load_sdxl(checkpoint_dir: str, *, with_ip: bool = True,
         raise FileNotFoundError(
             f"no vae/unet weights found under {checkpoint_dir}")
     out = {
-        "vae": vae_params_from_state_dict(vae_sd, vae_cfg),
+        "vae": vae_params_from_state_dict(vae_sd, vae_cfg, strict=strict),
         "unet": unet_params_from_state_dict(unet_sd, unet_cfg,
-                                            with_ip=with_ip),
+                                            with_ip=with_ip, strict=strict),
     }
+    if strict:
+        assert_tree_matches(
+            out["vae"],
+            jax.eval_shape(lambda: vae_init(jax.random.PRNGKey(0), vae_cfg)),
+            "VAE")
+        assert_tree_matches(
+            out["unet"],
+            jax.eval_shape(lambda: unet_init(jax.random.PRNGKey(0), unet_cfg,
+                                             with_ip=with_ip)),
+            "U-Net")
     if with_text_encoders:
         from .clip_text import (
             clip_l_config, open_clip_bigg_config, params_from_hf_state_dict,
@@ -323,8 +632,8 @@ def load_sdxl(checkpoint_dir: str, *, with_ip: bool = True,
         te2 = find_weights("text_encoder_2", text_names)
         if te1 is not None:
             out["text_encoder"] = params_from_hf_state_dict(
-                te1, text_cfg_1 or clip_l_config())
+                te1, text_cfg_1 or clip_l_config(), strict=strict)
         if te2 is not None:
             out["text_encoder_2"] = params_from_hf_state_dict(
-                te2, text_cfg_2 or open_clip_bigg_config())
+                te2, text_cfg_2 or open_clip_bigg_config(), strict=strict)
     return out

@@ -98,76 +98,12 @@ def test_vae_conversion_structure_and_forward(rng):
 
 
 def unet_state_dict_from_params(ref):
-    """Flatten a unet param tree into a diffusers-style state dict via the
-    known mapping (shared by the conversion and load_sdxl tests)."""
-    sd = {}
-
-    def put_lin(name, p):
-        sd[name + ".weight"] = np.asarray(p["kernel"]).T
-        if "bias" in p:
-            sd[name + ".bias"] = np.asarray(p["bias"])
-
-    def put_conv(name, p):
-        sd[name + ".weight"] = np.asarray(p["kernel"])
-        sd[name + ".bias"] = np.asarray(p["bias"])
-
-    def put_norm(name, p):
-        sd[name + ".weight"] = np.asarray(p["scale"])
-        sd[name + ".bias"] = np.asarray(p["bias"])
-
-    def put_resnet(name, p):
-        put_norm(name + ".norm1", p["norm1"]); put_conv(name + ".conv1", p["conv1"])
-        put_lin(name + ".time_emb_proj", p["time_emb_proj"])
-        put_norm(name + ".norm2", p["norm2"]); put_conv(name + ".conv2", p["conv2"])
-        if "conv_shortcut" in p:
-            put_conv(name + ".conv_shortcut", p["conv_shortcut"])
-
-    def put_attn(name, p):
-        for n in ("to_q", "to_k", "to_v"):
-            put_lin(name + "." + n, p[n])
-        put_lin(name + ".to_out.0", p["to_out"])
-        if "to_k_ip" in p:
-            put_lin(name + ".to_k_ip", p["to_k_ip"])
-            put_lin(name + ".to_v_ip", p["to_v_ip"])
-
-    def put_transformer(name, p):
-        put_norm(name + ".norm", p["norm"])
-        put_lin(name + ".proj_in", p["proj_in"])
-        for d, blk in enumerate(p["blocks"]):
-            bp = f"{name}.transformer_blocks.{d}"
-            put_norm(bp + ".norm1", blk["norm1"]); put_attn(bp + ".attn1", blk["attn1"])
-            put_norm(bp + ".norm2", blk["norm2"]); put_attn(bp + ".attn2", blk["attn2"])
-            put_norm(bp + ".norm3", blk["norm3"])
-            put_lin(bp + ".ff.net.0.proj", blk["ff_geglu"])
-            put_lin(bp + ".ff.net.2", blk["ff_out"])
-        put_lin(name + ".proj_out", p["proj_out"])
-
-    put_conv("conv_in", ref["conv_in"])
-    put_lin("time_embedding.linear_1", ref["time_embedding"]["linear_1"])
-    put_lin("time_embedding.linear_2", ref["time_embedding"]["linear_2"])
-    put_lin("add_embedding.linear_1", ref["add_embedding"]["linear_1"])
-    put_lin("add_embedding.linear_2", ref["add_embedding"]["linear_2"])
-    for i, block in enumerate(ref["down_blocks"]):
-        for j, r in enumerate(block["resnets"]):
-            put_resnet(f"down_blocks.{i}.resnets.{j}", r)
-        for j, a in enumerate(block["attentions"]):
-            put_transformer(f"down_blocks.{i}.attentions.{j}", a)
-        if "downsample" in block:
-            put_conv(f"down_blocks.{i}.downsamplers.0.conv", block["downsample"])
-    for j, r in enumerate(ref["mid_block"]["resnets"]):
-        put_resnet(f"mid_block.resnets.{j}", r)
-    for j, a in enumerate(ref["mid_block"]["attentions"]):
-        put_transformer(f"mid_block.attentions.{j}", a)
-    for i, block in enumerate(ref["up_blocks"]):
-        for j, r in enumerate(block["resnets"]):
-            put_resnet(f"up_blocks.{i}.resnets.{j}", r)
-        for j, a in enumerate(block["attentions"]):
-            put_transformer(f"up_blocks.{i}.attentions.{j}", a)
-        if "upsample" in block:
-            put_conv(f"up_blocks.{i}.upsamplers.0.conv", block["upsample"])
-    put_norm("conv_norm_out", ref["conv_norm_out"])
-    put_conv("conv_out", ref["conv_out"])
-    return sd
+    """Diffusers-style state dict from a unet param tree — now a thin
+    wrapper over the production exporter (weights.export_unet_state_dict),
+    kept for test_clip_text.py's fixture factory."""
+    import numpy as np
+    from stable_nerf_tpu.models.diffusion.weights import export_unet_state_dict
+    return {k: np.asarray(v) for k, v in export_unet_state_dict(ref).items()}
 
 
 def test_unet_conversion_tiny(rng):
@@ -175,9 +111,10 @@ def test_unet_conversion_tiny(rng):
     import jax
     ref = unet_init(jax.random.PRNGKey(0), cfg, with_ip=True)
     sd = unet_state_dict_from_params(ref)
-    params = unet_params_from_state_dict(sd, cfg, with_ip=True)
-    for (pa, a), (pb, b) in zip(jax.tree.leaves_with_path(params),
-                                jax.tree.leaves_with_path(ref)):
+    params = unet_params_from_state_dict(sd, cfg, with_ip=True, strict=True)
+    got, want = jax.tree.leaves_with_path(params), jax.tree.leaves_with_path(ref)
+    assert len(got) == len(want)     # zip() must not silently truncate
+    for (pa, a), (pb, b) in zip(got, want):
         assert pa == pb
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    err_msg=str(pa))
@@ -189,65 +126,171 @@ def test_unet_ip_init_from_base_weights(rng):
     cfg = tiny_unet_config()
     import jax
     ref = unet_init(jax.random.PRNGKey(1), cfg, with_ip=False)
-    # serialize without ip, convert with with_ip=True
-    sd = {}
-    # minimal: only one cross-attn layer matters — serialize everything
-    from tests.test_weights import _vae_state_dict  # noqa: self import guard
-    # reuse the tiny serializer above via module-level function
-    # (duplicated inline to keep this test independent)
-    # -- serialize --
-    def put_lin(name, p):
-        sd[name + ".weight"] = np.asarray(p["kernel"]).T
-        if "bias" in p:
-            sd[name + ".bias"] = np.asarray(p["bias"])
-    def put_conv(name, p):
-        sd[name + ".weight"] = np.asarray(p["kernel"]); sd[name + ".bias"] = np.asarray(p["bias"])
-    def put_norm(name, p):
-        sd[name + ".weight"] = np.asarray(p["scale"]); sd[name + ".bias"] = np.asarray(p["bias"])
-    def put_resnet(name, p):
-        put_norm(name + ".norm1", p["norm1"]); put_conv(name + ".conv1", p["conv1"])
-        put_lin(name + ".time_emb_proj", p["time_emb_proj"])
-        put_norm(name + ".norm2", p["norm2"]); put_conv(name + ".conv2", p["conv2"])
-        if "conv_shortcut" in p: put_conv(name + ".conv_shortcut", p["conv_shortcut"])
-    def put_attn(name, p):
-        for n in ("to_q", "to_k", "to_v"): put_lin(name + "." + n, p[n])
-        put_lin(name + ".to_out.0", p["to_out"])
-    def put_transformer(name, p):
-        put_norm(name + ".norm", p["norm"]); put_lin(name + ".proj_in", p["proj_in"])
-        for d, blk in enumerate(p["blocks"]):
-            bp = f"{name}.transformer_blocks.{d}"
-            put_norm(bp + ".norm1", blk["norm1"]); put_attn(bp + ".attn1", blk["attn1"])
-            put_norm(bp + ".norm2", blk["norm2"]); put_attn(bp + ".attn2", blk["attn2"])
-            put_norm(bp + ".norm3", blk["norm3"])
-            put_lin(bp + ".ff.net.0.proj", blk["ff_geglu"])
-            put_lin(bp + ".ff.net.2", blk["ff_out"])
-        put_lin(name + ".proj_out", p["proj_out"])
-    put_conv("conv_in", ref["conv_in"])
-    for nm in ("time_embedding", "add_embedding"):
-        put_lin(f"{nm}.linear_1", ref[nm]["linear_1"])
-        put_lin(f"{nm}.linear_2", ref[nm]["linear_2"])
-    for i, block in enumerate(ref["down_blocks"]):
-        for j, r in enumerate(block["resnets"]):
-            put_resnet(f"down_blocks.{i}.resnets.{j}", r)
-        for j, a in enumerate(block["attentions"]):
-            put_transformer(f"down_blocks.{i}.attentions.{j}", a)
-        if "downsample" in block:
-            put_conv(f"down_blocks.{i}.downsamplers.0.conv", block["downsample"])
-    for j, r in enumerate(ref["mid_block"]["resnets"]):
-        put_resnet(f"mid_block.resnets.{j}", r)
-    for j, a in enumerate(ref["mid_block"]["attentions"]):
-        put_transformer(f"mid_block.attentions.{j}", a)
-    for i, block in enumerate(ref["up_blocks"]):
-        for j, r in enumerate(block["resnets"]):
-            put_resnet(f"up_blocks.{i}.resnets.{j}", r)
-        for j, a in enumerate(block["attentions"]):
-            put_transformer(f"up_blocks.{i}.attentions.{j}", a)
-        if "upsample" in block:
-            put_conv(f"up_blocks.{i}.upsamplers.0.conv", block["upsample"])
-    put_norm("conv_norm_out", ref["conv_norm_out"])
-    put_conv("conv_out", ref["conv_out"])
-
-    params = unet_params_from_state_dict(sd, cfg, with_ip=True)
+    sd = unet_state_dict_from_params(ref)          # no ip keys present
+    params = unet_params_from_state_dict(sd, cfg, with_ip=True, strict=True)
     blk = params["down_blocks"][1]["attentions"][0]["blocks"][0]["attn2"]
     np.testing.assert_array_equal(np.asarray(blk["to_k_ip"]["kernel"]),
                                   np.asarray(blk["to_k"]["kernel"]))
+
+class TestStrictContract:
+    """VERDICT r2 next #3: the loading contract that must survive first
+    contact with a real checkpoint — every key consumed, every leaf
+    filled, full-config coverage locked by committed manifests."""
+
+    def test_strict_rejects_unconsumed_key(self, rng):
+        import jax
+        cfg = tiny_unet_config()
+        sd = unet_state_dict_from_params(unet_init(jax.random.PRNGKey(0),
+                                                   cfg, with_ip=True))
+        sd["down_blocks.0.attn_extra.weight"] = np.zeros((4, 4), np.float32)
+        with pytest.raises(ValueError, match="not consumed"):
+            unet_params_from_state_dict(sd, cfg, with_ip=True, strict=True)
+
+    def test_missing_key_error_names_the_key(self, rng):
+        import jax
+        cfg = tiny_unet_config()
+        sd = unet_state_dict_from_params(unet_init(jax.random.PRNGKey(0),
+                                                   cfg, with_ip=True))
+        del sd["mid_block.resnets.0.conv1.weight"]
+        with pytest.raises(KeyError, match="mid_block.resnets.0.conv1"):
+            unet_params_from_state_dict(sd, cfg, with_ip=True)
+
+    def test_vae_export_roundtrip(self, rng):
+        import jax
+        from stable_nerf_tpu.models.diffusion.weights import (
+            export_vae_state_dict,
+        )
+        ref = vae_init(jax.random.PRNGKey(2), TINY_VAE)
+        sd = {k: np.asarray(v)
+              for k, v in export_vae_state_dict(ref, TINY_VAE).items()}
+        params = vae_params_from_state_dict(sd, TINY_VAE, strict=True)
+        got = jax.tree.leaves_with_path(params)
+        want = jax.tree.leaves_with_path(ref)
+        assert len(got) == len(want)
+        for (pa, a), (pb, b) in zip(got, want):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_full_sdxl_unet_manifest_locked(self):
+        """The abstract full-config key template equals the committed
+        manifest (1680 keys / 2,567,463,684 params — the publicly
+        documented SDXL base U-Net size)."""
+        import json, os
+        from stable_nerf_tpu.models.diffusion.unet import sdxl_unet_config
+        from stable_nerf_tpu.models.diffusion.weights import (
+            unet_state_dict_template,
+        )
+        template = unet_state_dict_template(sdxl_unet_config())
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "sdxl_unet_keys.json")
+        manifest = json.load(open(path))
+        assert {k: list(v.shape) for k, v in template.items()} == manifest
+        n_params = sum(int(np.prod(s)) if s else 1 for s in manifest.values())
+        assert n_params == 2_567_463_684
+        assert len(manifest) == 1680
+
+    def test_full_sdxl_vae_manifest_locked(self):
+        import json, os
+        from stable_nerf_tpu.models.diffusion.weights import (
+            vae_state_dict_template,
+        )
+        template = vae_state_dict_template(VAEConfig())
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "sdxl_vae_keys.json")
+        manifest = json.load(open(path))
+        assert {k: list(v.shape) for k, v in template.items()} == manifest
+        n_params = sum(int(np.prod(s)) if s else 1 for s in manifest.values())
+        assert n_params == 83_653_863
+
+    def test_full_config_conversion_covers_manifest_abstractly(self):
+        """jax.eval_shape-run the converter on the full-size manifest:
+        strict mode proves every manifest key is consumed, and the result
+        must match the full-size init tree leaf-for-leaf (every leaf
+        filled, right shapes) — all without allocating 10 GB."""
+        import jax
+        from stable_nerf_tpu.models.diffusion.unet import sdxl_unet_config
+        from stable_nerf_tpu.models.diffusion.weights import (
+            assert_tree_matches, unet_state_dict_template,
+        )
+        cfg = sdxl_unet_config()
+        template = unet_state_dict_template(cfg)     # stock ckpt: no ip keys
+        converted = jax.eval_shape(
+            lambda sd: unet_params_from_state_dict(sd, cfg, with_ip=True,
+                                                   strict=True),
+            template)
+        expect = jax.eval_shape(
+            lambda: unet_init(jax.random.PRNGKey(0), cfg, with_ip=True))
+        assert_tree_matches(converted, expect, "U-Net full config")
+
+class TestPrecheck:
+    """precheck_sdxl_checkpoint: header-only key/shape gate for train.py
+    --sdxl-checkpoint startup."""
+
+    def _write_ckpt(self, root, unet_sd, vae_sd):
+        from safetensors.numpy import save_file
+        (root / "unet").mkdir(parents=True)
+        (root / "vae").mkdir(parents=True)
+        save_file({k: np.asarray(v) for k, v in unet_sd.items()},
+                  str(root / "unet" / "diffusion_pytorch_model.safetensors"))
+        save_file({k: np.asarray(v) for k, v in vae_sd.items()},
+                  str(root / "vae" / "diffusion_pytorch_model.safetensors"))
+
+    def _tiny_sds(self, rng):
+        import jax
+        from stable_nerf_tpu.models.diffusion.weights import (
+            export_vae_state_dict,
+        )
+        unet_sd = unet_state_dict_from_params(
+            unet_init(jax.random.PRNGKey(0), tiny_unet_config(),
+                      with_ip=False))
+        vae_sd = {k: np.asarray(v) for k, v in export_vae_state_dict(
+            vae_init(jax.random.PRNGKey(1), TINY_VAE), TINY_VAE).items()}
+        return unet_sd, vae_sd
+
+    def test_clean_checkpoint_passes(self, tmp_path, rng):
+        from stable_nerf_tpu.models.diffusion.weights import (
+            precheck_sdxl_checkpoint,
+        )
+        unet_sd, vae_sd = self._tiny_sds(rng)
+        self._write_ckpt(tmp_path, unet_sd, vae_sd)
+        precheck_sdxl_checkpoint(str(tmp_path), unet_cfg=tiny_unet_config(),
+                                 vae_cfg=TINY_VAE)
+
+    def test_ip_keys_are_optional_extras(self, tmp_path, rng):
+        import jax
+        from stable_nerf_tpu.models.diffusion.weights import (
+            export_unet_state_dict, export_vae_state_dict,
+            precheck_sdxl_checkpoint,
+        )
+        unet_sd = {k: np.asarray(v) for k, v in export_unet_state_dict(
+            unet_init(jax.random.PRNGKey(0), tiny_unet_config(),
+                      with_ip=True)).items()}
+        _, vae_sd = self._tiny_sds(rng)
+        self._write_ckpt(tmp_path, unet_sd, vae_sd)
+        precheck_sdxl_checkpoint(str(tmp_path), unet_cfg=tiny_unet_config(),
+                                 vae_cfg=TINY_VAE)
+
+    def test_missing_and_bad_shape_fail_with_diff(self, tmp_path, rng):
+        from stable_nerf_tpu.models.diffusion.weights import (
+            precheck_sdxl_checkpoint,
+        )
+        unet_sd, vae_sd = self._tiny_sds(rng)
+        del unet_sd["conv_out.bias"]
+        vae_sd["quant_conv.weight"] = np.zeros((3, 3, 1, 1), np.float32)
+        self._write_ckpt(tmp_path, unet_sd, vae_sd)
+        with pytest.raises(ValueError) as e:
+            precheck_sdxl_checkpoint(str(tmp_path),
+                                     unet_cfg=tiny_unet_config(),
+                                     vae_cfg=TINY_VAE)
+        msg = str(e.value)
+        assert "missing" in msg and "conv_out.bias" in msg
+        assert "shape mismatch" in msg and "quant_conv.weight" in msg
+
+    def test_missing_dir_fails(self, tmp_path):
+        from stable_nerf_tpu.models.diffusion.weights import (
+            precheck_sdxl_checkpoint,
+        )
+        with pytest.raises(ValueError, match="no weights file"):
+            precheck_sdxl_checkpoint(str(tmp_path),
+                                     unet_cfg=tiny_unet_config(),
+                                     vae_cfg=TINY_VAE)

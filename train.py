@@ -227,8 +227,13 @@ def main(argv=None):
 
     pretrained = None
     if args.sdxl_checkpoint:
-        from stable_nerf_tpu.models.diffusion.weights import load_sdxl
+        from stable_nerf_tpu.models.diffusion.weights import (
+            load_sdxl, precheck_sdxl_checkpoint,
+        )
 
+        # fast gate: diff the checkpoint's key/shape header against the
+        # converter's exact expectations before loading any tensors
+        precheck_sdxl_checkpoint(args.sdxl_checkpoint)
         print(f"loading SDXL weights from {args.sdxl_checkpoint}…")
         pretrained = load_sdxl(args.sdxl_checkpoint)
 
