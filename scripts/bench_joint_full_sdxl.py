@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Benchmark the REAL joint train step: full SDXL U-Net (2.57B) + full VAE
+at 512² images / 64² latents, batch 1, fwd+bwd+AdamW — the reference's
+actual hot loop (train.py:100-105; SD side stable_diffusion/network.py:
+191-212).  VERDICT r2 next #1: this cost had only ever been measured with
+a tiny-U-Net proxy.
+
+Dtype policy (the TPU-production configuration): frozen weights (U-Net
+base + VAE) live in bf16, the trainable partition (IP heads + image-proj
++ downsampling CNN + NeRF) and its AdamW moments stay f32.  State budget
+on a 16 GB v5e:
+    frozen bf16 ~2.28B×2 = 4.6 GB, trainable f32 ~0.37B×4 = 1.5 GB,
+    grads 1.5 GB, AdamW m+v 3.0 GB → ~10.6 GB before activations.
+
+Usage: python scripts/bench_joint_full_sdxl.py [--remat] [--iters N]
+Prints one JSON line with step ms, peak HBM, and the fit story.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build(remat: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from stable_nerf_tpu.config import NeRFConfig, TrainConfig
+    from stable_nerf_tpu.data.rays import get_rays, rand_poses
+    from stable_nerf_tpu.models.diffusion import DDIMScheduler
+    from stable_nerf_tpu.models.diffusion.sd_network import (
+        SDNetworkConfig, sd_network_init,
+    )
+    from stable_nerf_tpu.models.nerf import grid_init, nerf_init
+    from stable_nerf_tpu.training.joint import (
+        JointConfig, joint_trainable_mask, make_optimizer, make_train_step,
+    )
+    from stable_nerf_tpu.utils.pytree import combine, partition
+
+    sd_cfg = SDNetworkConfig()
+    if remat:
+        sd_cfg = dataclasses.replace(
+            sd_cfg, unet=dataclasses.replace(sd_cfg.unet, remat=True))
+    cfg = JointConfig(
+        nerf=NeRFConfig(channel_dim=4),
+        sd=sd_cfg,
+        train=TrainConfig(max_steps_train=256, sample_budget=2 ** 18),
+    )
+    key = jax.random.PRNGKey(0)
+
+    # init directly on device with the frozen partition in bf16 — closing
+    # jit over GBs of constants breaks the remote compile, so params are
+    # always arguments (same discipline as bench.bench_sd_denoise)
+    @jax.jit
+    def init_params(key):
+        k1, k2 = jax.random.split(key)
+        params = {"sd": sd_network_init(k1, cfg.sd),
+                  "nerf": nerf_init(k2, cfg.nerf)}
+        mask = joint_trainable_mask(params)
+        trainable, frozen = partition(params, mask)
+        frozen = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x is not None and x.dtype == jnp.float32 else x, frozen,
+            is_leaf=lambda x: x is None)
+        return combine(trainable, frozen)
+
+    params = jax.block_until_ready(init_params(key))
+    mask = joint_trainable_mask(params)
+
+    sizes = {
+        "trainable_params_m": round(sum(
+            x.size for x, m in zip(jax.tree.leaves(params),
+                                   jax.tree.leaves(mask)) if m) / 1e6, 1),
+        "frozen_params_m": round(sum(
+            x.size for x, m in zip(jax.tree.leaves(params),
+                                   jax.tree.leaves(mask)) if not m) / 1e6, 1),
+    }
+
+    grid_state = grid_init(cfg.nerf)
+    grid_state = grid_state._replace(occ=jnp.ones_like(grid_state.occ))
+    scheduler = DDIMScheduler.create(cfg.sd.scheduler)
+    opt = make_optimizer(cfg.train)
+    trainable, _ = partition(params, mask)
+    opt_state = jax.jit(opt.init)(trainable)
+    step = jax.jit(make_train_step(cfg, scheduler, opt, mask,
+                                   sample_budget=cfg.train.sample_budget))
+
+    B, enc, img = 1, cfg.sd.sd.latent_size, cfg.sd.sd.image_size
+    ks = jax.random.split(key, 3)
+    intr = (138.0, 138.0, enc / 2, enc / 2)
+    rt = get_rays(rand_poses(ks[0], B, radius=2.0), intr, enc, enc)
+    rr = get_rays(rand_poses(ks[1], B, radius=2.0), intr, enc, enc)
+    batch = {
+        "target_image": jax.random.uniform(ks[2], (B, 3, img, img),
+                                           minval=-1, maxval=1),
+        "reference_image": jax.random.uniform(ks[2], (B, 3, img, img),
+                                              minval=-1, maxval=1),
+        "target_rays_o": rt["rays_o"], "target_rays_d": rt["rays_d"],
+        "reference_rays_o": rr["rays_o"], "reference_rays_d": rr["rays_d"],
+    }
+    return params, opt_state, grid_state, batch, step, key, sizes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--blocks", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    t0 = time.time()
+    params, opt_state, grid_state, batch, step, key, sizes = build(args.remat)
+    print(f"built + init in {time.time()-t0:.0f}s  {sizes}", file=sys.stderr)
+
+    t0 = time.time()
+    out = step(params, opt_state, grid_state, batch, key)   # compile
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    print(f"compiled + first step in {compile_s:.0f}s", file=sys.stderr)
+
+    state = {"p": params, "o": opt_state}
+
+    def run(i):
+        state["p"], state["o"], m = step(state["p"], state["o"], grid_state,
+                                         batch, jax.random.fold_in(key, i))
+        return m
+
+    best = float("inf")
+    for _ in range(args.blocks):
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            m = run(i)
+        jax.block_until_ready(m)
+        best = min(best, (time.perf_counter() - t0) / args.iters)
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak_gb = stats.get("peak_bytes_in_use", 0) / 2 ** 30
+    result = {
+        "joint_step_full_sdxl_ms": round(best * 1e3, 1),
+        "remat": args.remat,
+        "dtype_policy": "frozen bf16 / trainable+moments f32",
+        "peak_hbm_gb": round(peak_gb, 2),
+        "compile_s": round(compile_s, 0),
+        **sizes,
+        "loss": {k: float(v) for k, v in m.items()},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

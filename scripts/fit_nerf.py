@@ -28,7 +28,7 @@ Reference-matching knobs kept: Adam(1e-2, betas (0.9, 0.99), eps 1e-15)
 (test_nerf.py:165 uses 0; tiny-NeRF-style data has a white background,
 for which --bg 1 keeps empty space empty and occupancy sparse).
 
-Usage: python scripts/fit_nerf.py [--dataset nerf] [--data-root datasets]
+Usage: python scripts/fit_nerf.py [--dataset synthetic|nerf] [--data-root datasets]
        [--steps 3000] [--size 128] [--bg 1]
 """
 
@@ -44,7 +44,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", default="nerf")
+    ap.add_argument("--dataset", default="synthetic",
+                    help="synthetic (committed parity scene) | nerf "
+                         "(real tiny-NeRF, requires download)")
     ap.add_argument("--data-root", default="datasets")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--rays-per-batch", type=int, default=4096)

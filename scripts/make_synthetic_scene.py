@@ -14,7 +14,7 @@ intersection along the SAME rays the training pipeline generates
 [138, 138, W/2, H/2] intrinsic, reference dataset.py:48), so a perfect NeRF
 fit would reach infinite PSNR — measured PSNR is pure model/renderer error.
 
-Usage: python scripts/make_synthetic_scene.py [--out datasets/nerf/tiny_nerf_data.npz]
+Usage: python scripts/make_synthetic_scene.py [--out datasets/nerf/synthetic_spheres.npz]
        [--n-views 64] [--size 128]
 """
 
@@ -93,7 +93,7 @@ def trace(rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="datasets/nerf/tiny_nerf_data.npz")
+    ap.add_argument("--out", default="datasets/nerf/synthetic_spheres.npz")
     ap.add_argument("--n-views", type=int, default=64)
     ap.add_argument("--size", type=int, default=128)
     args = ap.parse_args()
@@ -118,7 +118,8 @@ def main():
     ]).astype(np.float32)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    np.savez(args.out, images=images, poses=poses, focal=np.float32(138.0))
+    np.savez(args.out, images=images, poses=poses, focal=np.float32(138.0),
+             scene="synthetic_spheres")  # marker: NOT tiny-NeRF data (loader guard)
     occ = float((images.sum(-1) < 2.999).mean())
     print(f"wrote {args.out}: {args.n_views} views at {H}x{W}, "
           f"{occ:.1%} foreground coverage")

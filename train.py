@@ -8,7 +8,8 @@ tree is exposed as flags with the reference's values as defaults.
 
 Usage:
   python train.py                          # joint training (objaverse)
-  python train.py --dataset nerf           # tiny-NeRF paired data
+  python train.py --dataset nerf           # tiny-NeRF paired data (download)
+  python train.py --dataset synthetic      # committed parity scene, paired
   python train.py --inference --workdir X  # restore + full DDIM inference
 """
 
@@ -27,7 +28,7 @@ def build_parser():
     p.add_argument("--inference", action="store_true",
                    help="skip training; restore checkpoint and run inference")
     p.add_argument("--dataset", default="objaverse",
-                   choices=["objaverse", "nerf"])
+                   choices=["objaverse", "nerf", "synthetic"])
     p.add_argument("--data-root", default="datasets")
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--latent-size", type=int, default=64)
