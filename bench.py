@@ -208,11 +208,19 @@ def bench_sd_denoise(n_steps: int = 10):
     jitted = jax.jit(denoise)
     jax.block_until_ready(jitted(params, latents0))          # compile
 
-    flops_per_step = None
+    # MFU numerator: analytic FLOPs walked from the config.  The compiled
+    # cost_analysis()["flops"] undercounts the TPU U-Net's convolutions
+    # ~9.4x (327 vs 3063 GFLOP/step measured r2→r3), which is what made a
+    # ~49%-of-peak step read as "5.25% MFU" in BENCH_r02.  The XLA number
+    # is still recorded for the audit trail (ADVICE r2 #3).
+    from stable_nerf_tpu.utils.flops import unet_forward_flops
+
+    flops_per_step = float(unet_forward_flops(cfg, B, H))
+    flops_xla = None
     try:
         cost = jitted.lower(params, latents0).compile().cost_analysis()
         if cost and "flops" in cost:
-            flops_per_step = float(cost["flops"]) / n_steps
+            flops_xla = float(cost["flops"]) / n_steps
     except Exception as e:
         log(f"cost_analysis unavailable: {e}")
 
@@ -221,9 +229,10 @@ def bench_sd_denoise(n_steps: int = 10):
     dt_step = dt_scan / n_steps
     mfu = None
     kind, peak = detect_peak_flops()
-    if flops_per_step and peak:
+    if peak:
         mfu = flops_per_step / dt_step / peak
-    return 1.0 / dt_step, dt_step * 1e3, mfu, kind, peak, flops_per_step
+    return (1.0 / dt_step, dt_step * 1e3, mfu, kind, peak, flops_per_step,
+            flops_xla)
 
 
 def bench_joint_step(stochastic: bool = False):
@@ -303,6 +312,33 @@ def bench_joint_step(stochastic: bool = False):
     return dt * 1e3
 
 
+def bench_joint_full_sdxl(timeout_s: int = 2400):
+    """The REAL joint hot loop (VERDICT r2 next #1): full SDXL U-Net
+    (2.57B) + full VAE at 512^2 images / 64^2 latents, batch 1,
+    fwd+bwd+AdamW, frozen partition bf16 / trainable+moments f32,
+    params+opt donated.  Run as a subprocess (scripts/
+    bench_joint_full_sdxl.py) so its ~15.4 GB HBM footprint can't
+    fragment this process's device state; compile+init is ~12 min on the
+    tunnel, hence the generous bound.  Returns the script's result dict.
+
+    Measured r3 (v5e): 526 ms/step, fits WITHOUT remat —
+    memory_analysis args 9.0 + temps 6.36 GB, outputs aliased 8.99 GB.
+    """
+    import subprocess
+
+    script = os.path.join(os.path.dirname(__file__), "scripts",
+                          "bench_joint_full_sdxl.py")
+    proc = subprocess.run(
+        [sys.executable, script, "--iters", "3"],
+        capture_output=True, text=True, timeout=timeout_s,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"bench_joint_full_sdxl rc={proc.returncode}: "
+            f"{proc.stderr[-500:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def backend_reachable(timeout_s: int = 900) -> bool:
     """Probe backend liveness in a subprocess.
 
@@ -369,14 +405,17 @@ def main():
             log(f"  eval render bench failed: {e}")
         try:
             log("bench: SDXL U-Net denoise…")
-            sps, ms, mfu, kind, peak, flops = bench_sd_denoise()
+            sps, ms, mfu, kind, peak, flops, flops_xla = bench_sd_denoise()
             extras["sd_denoise_steps_per_sec"] = round(sps, 2)
             extras["sd_denoise_ms_per_step"] = round(ms, 2)
             extras["device_kind"] = kind
             if peak:
                 extras["peak_bf16_tflops_assumed"] = round(peak / 1e12, 1)
-            if flops:
-                extras["sd_denoise_gflops_per_step"] = round(flops / 1e9, 1)
+            extras["sd_denoise_gflops_per_step"] = round(flops / 1e9, 1)
+            extras["sd_denoise_flops_basis"] = "analytic (utils/flops.py)"
+            if flops_xla:
+                extras["sd_denoise_gflops_per_step_xla"] = round(
+                    flops_xla / 1e9, 1)
             if mfu is not None:
                 extras["sd_denoise_mfu"] = round(mfu, 4)
             log(f"  {ms:.1f} ms/step ({sps:.1f} steps/s, "
@@ -398,6 +437,23 @@ def main():
             log(f"  {joint_fast_ms:.0f} ms")
         except Exception as e:
             log(f"  stochastic joint step bench failed: {e}")
+        if os.environ.get("BENCH_SKIP_FULL_SDXL") != "1":
+            try:
+                log("bench: joint train step (FULL SDXL, subprocess, "
+                    "~12 min compile)…")
+                full = bench_joint_full_sdxl()
+                extras["joint_step_full_sdxl_ms"] = full[
+                    "joint_step_full_sdxl_ms"]
+                extras["joint_full_sdxl_fits_one_chip_no_remat"] = True
+                for k in ("hbm_arguments_gb", "hbm_temps_gb",
+                          "hbm_aliased_gb"):
+                    if k in full:
+                        extras[f"joint_full_sdxl_{k}"] = full[k]
+                log(f"  {full['joint_step_full_sdxl_ms']:.0f} ms "
+                    f"(args {full.get('hbm_arguments_gb')} GB + temps "
+                    f"{full.get('hbm_temps_gb')} GB, no remat)")
+            except Exception as e:
+                log(f"  full-SDXL joint bench failed: {e}")
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_baseline.json")
     vs = 1.0

@@ -89,8 +89,12 @@ def build(remat: bool):
     opt = make_optimizer(cfg.train)
     trainable, _ = partition(params, mask)
     opt_state = jax.jit(opt.init)(trainable)
+    # donate params + opt_state: without donation the step holds input AND
+    # output copies of the 6 GB param tree + 3 GB moments — guaranteed OOM
+    # at full SDXL scale on a 16 GB chip
     step = jax.jit(make_train_step(cfg, scheduler, opt, mask,
-                                   sample_budget=cfg.train.sample_budget))
+                                   sample_budget=cfg.train.sample_budget),
+                   donate_argnums=(0, 1))
 
     B, enc, img = 1, cfg.sd.sd.latent_size, cfg.sd.sd.image_size
     ks = jax.random.split(key, 3)
@@ -123,16 +127,33 @@ def main():
     print(f"built + init in {time.time()-t0:.0f}s  {sizes}", file=sys.stderr)
 
     t0 = time.time()
-    out = step(params, opt_state, grid_state, batch, key)   # compile
-    jax.block_until_ready(out)
+    lowered = step.lower(params, opt_state, grid_state, batch, key)
+    compiled = lowered.compile()
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        mem = {
+            "hbm_arguments_gb": round(ma.argument_size_in_bytes / 2**30, 2),
+            "hbm_outputs_gb": round(ma.output_size_in_bytes / 2**30, 2),
+            "hbm_temps_gb": round(ma.temp_size_in_bytes / 2**30, 2),
+            "hbm_aliased_gb": round(ma.alias_size_in_bytes / 2**30, 2),
+        }
+        print(f"memory_analysis: {mem}", file=sys.stderr)
+    except Exception as e:
+        print(f"memory_analysis unavailable: {e}", file=sys.stderr)
+
+    # params/opt_state are donated — always continue from the returns
+    params, opt_state, m = compiled(params, opt_state, grid_state, batch, key)
+    jax.block_until_ready(m)
     compile_s = time.time() - t0
     print(f"compiled + first step in {compile_s:.0f}s", file=sys.stderr)
 
     state = {"p": params, "o": opt_state}
 
     def run(i):
-        state["p"], state["o"], m = step(state["p"], state["o"], grid_state,
-                                         batch, jax.random.fold_in(key, i))
+        state["p"], state["o"], m = compiled(state["p"], state["o"],
+                                             grid_state, batch,
+                                             jax.random.fold_in(key, i))
         return m
 
     best = float("inf")
@@ -152,6 +173,7 @@ def main():
         "peak_hbm_gb": round(peak_gb, 2),
         "compile_s": round(compile_s, 0),
         **sizes,
+        **mem,
         "loss": {k: float(v) for k, v in m.items()},
     }
     print(json.dumps(result))
