@@ -51,7 +51,9 @@ _CHUNK = _SUB * _LANES              # 4096 table entries per chunk
 def _gather_kernel(r0_ref, nchunk_ref, idx_hbm, tab_hbm, out_ref,
                    idx_scr, tab_scr, isem, tsems, *, feat: int):
     w = pl.program_id(0)
-    r0 = r0_ref[w]                  # chunk-0 base, in 128-entry rows
+    # chunk-0 base in 128-entry rows; host side rounds it to _SUB, the
+    # hint lets Mosaic prove the DMA slice start is tile-aligned
+    r0 = pl.multiple_of(r0_ref[w], _SUB)
     n_chunks = nchunk_ref[w]
 
     # this window's indices (one small DMA; idx rows are window-aligned)
@@ -73,7 +75,7 @@ def _gather_kernel(r0_ref, nchunk_ref, idx_hbm, tab_hbm, out_ref,
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
     base0 = r0 * _LANES
 
-    def chunk_step(c, acc):
+    def chunk_step(c, accs):
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < n_chunks)
@@ -83,6 +85,10 @@ def _gather_kernel(r0_ref, nchunk_ref, idx_hbm, tab_hbm, out_ref,
         tab_dma(c, slot).wait()
         tc = tab_scr[slot]                                  # [F, 32, 128] bf16
         local_all = idx - (base0 + c * _CHUNK)              # [8, 128]
+        # per-row accumulators carried as a TUPLE: an .at[].add on a
+        # stacked value lowers to the scatter-add primitive, which Pallas
+        # TPU cannot lower inside fori_loop
+        new = []
         for row in range(_WIN_ROWS):                        # static unroll
             local = local_all[row:row + 1, :]               # [1, 128]
             hi = jax.lax.shift_right_arithmetic(local, 7)
@@ -95,12 +101,13 @@ def _gather_kernel(r0_ref, nchunk_ref, idx_hbm, tab_hbm, out_ref,
                 preferred_element_type=jnp.float32,
             )                                               # [F, 128, 128]
             feat_i = jnp.sum(v * oh_lo[None].astype(jnp.float32), axis=1)
-            acc = acc.at[:, row, :].add(feat_i)
-        return acc
+            new.append(accs[row] + feat_i)
+        return tuple(new)
 
-    acc0 = jnp.zeros((feat, _WIN_ROWS, _LANES), jnp.float32)
-    acc = jax.lax.fori_loop(0, n_chunks, chunk_step, acc0)
-    out_ref[...] = acc
+    acc0 = tuple(jnp.zeros((feat, _LANES), jnp.float32)
+                 for _ in range(_WIN_ROWS))
+    accs = jax.lax.fori_loop(0, n_chunks, chunk_step, acc0)
+    out_ref[...] = jnp.stack(accs, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -125,10 +132,13 @@ def sorted_window_gather(table, sidx, interpret: bool = False):
     ).reshape(-1, _LANES)                                   # [Mpad/128, 128]
     n_windows = Mpad // _WIN
 
-    # per-window chunk-0 base row and chunk count (host-side, cheap)
+    # per-window chunk-0 base row and chunk count (host-side, cheap).
+    # r0 rounds DOWN to chunk granularity: Mosaic requires the DMA slice
+    # start (r0 + c*_SUB) to sit on a sublane-tile boundary
     win_first = idx_rows[::_WIN_ROWS, 0]                    # [n_windows]
     win_last = idx_rows[_WIN_ROWS - 1::_WIN_ROWS, -1]
-    r0 = jnp.minimum(win_first // _LANES, T // _LANES - _SUB)
+    r0 = jnp.minimum(win_first // _LANES // _SUB * _SUB,
+                     T // _LANES - _SUB)
     n_chunks = (win_last - r0 * _LANES) // _CHUNK + 1
     max_chunks = T // _CHUNK
 
