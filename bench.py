@@ -91,20 +91,55 @@ def bench_nerf_render(stochastic: bool = False):
     return n_rays / dt, dt
 
 
+def _scene_occupancy_grid(cfg):
+    """Occupancy of the committed synthetic three-sphere scene on the
+    128³ grid — the occupancy a CONVERGED fit reaches (the spheres fill
+    ~1% of the AABB), computed analytically so the bench needs no
+    training run.  Cells within one cell-diagonal of a sphere surface or
+    inside a sphere count occupied (the fit's dilation)."""
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "make_synthetic_scene",
+        os.path.join(os.path.dirname(__file__), "scripts",
+                     "make_synthetic_scene.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    H = cfg.grid_size
+    xs = ((np.arange(H) + 0.5) / H * 2.0 - 1.0) * cfg.bound
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    occ = np.zeros((H ** 3,), bool)
+    dilate = 2.0 * cfg.bound / H * np.sqrt(3.0)
+    for center, radius, _ in mod.SPHERES:
+        occ |= np.linalg.norm(pts - center, axis=-1) <= radius + dilate
+    return occ.reshape(1, H, H, H)
+
+
 def bench_nerf_eval():
     """Eval-path render: one 64² latent image (4096 rays) at max_steps 512
-    with the production eval budget (64 samples/ray) — the workload the
-    reference serves with its alive-ray while-loop (renderer.py:119-167).
-    Returns ms/image."""
+    — the workload the reference serves with its alive-ray while-loop
+    (renderer.py:119-167).  Two configurations:
+
+      * static: the production 64-samples/ray default budget;
+      * auto (VERDICT r2 #7): the occupancy-driven budget
+        (eval_budget_for_occupancy) at a trained-scene occupancy — the
+        committed synthetic scene's analytic grid.
+
+    Returns (static_ms, auto_ms, occ_frac, auto_budget)."""
     import jax
     import jax.numpy as jnp
 
-    from stable_nerf_tpu.config import NeRFConfig
+    from stable_nerf_tpu.config import NeRFConfig, TrainConfig
     from stable_nerf_tpu.data.rays import get_rays, rand_poses
     from stable_nerf_tpu.models.nerf import (
         grid_init, mark_untrained_grid, nerf_density, nerf_init, render,
         update_extra_state,
     )
+    from stable_nerf_tpu.training.joint import eval_budget_for_occupancy
 
     key = jax.random.PRNGKey(0)
     cfg = NeRFConfig(channel_dim=4)
@@ -120,18 +155,27 @@ def bench_nerf_eval():
         jax.jit(lambda s, k: update_extra_state(s, dens, k, cfg))(state, key)
     )
 
-    budget = 64 * 4096      # TrainConfig.sample_budget_eval_per_ray default
+    def timed(state, budget):
+        @jax.jit
+        def eval_render(params, o, d):
+            return render(params, state, o, d, cfg, bg_color=1.0,
+                          max_steps=512, compute_dtype=jnp.bfloat16,
+                          sample_budget=budget)
 
-    @jax.jit
-    def eval_render(params, o, d):
-        return render(params, state, o, d, cfg, bg_color=1.0, max_steps=512,
-                      compute_dtype=jnp.bfloat16, sample_budget=budget)
+        o, d = rays["rays_o"], rays["rays_d"]
+        jax.block_until_ready(eval_render(params, o, d))     # compile
+        return best_of_blocks(lambda i: eval_render(params, o, d),
+                              jax.block_until_ready) * 1e3
 
-    o, d = rays["rays_o"], rays["rays_d"]
-    jax.block_until_ready(eval_render(params, o, d))         # compile
-    dt = best_of_blocks(lambda i: eval_render(params, o, d),
-                        jax.block_until_ready)
-    return dt * 1e3
+    static_ms = timed(state, 64 * 4096)  # sample_budget_eval_per_ray default
+
+    scene_occ = jnp.asarray(_scene_occupancy_grid(cfg))
+    scene_state = state._replace(occ=scene_occ)
+    occ_frac = float(scene_occ.mean())
+    train_cfg = TrainConfig()
+    auto_budget = eval_budget_for_occupancy(occ_frac, 4096, train_cfg)
+    auto_ms = timed(scene_state, auto_budget)
+    return static_ms, auto_ms, occ_frac, auto_budget
 
 
 # bf16 peak FLOP/s by device_kind (public spec sheets).  ADVICE r2: the MFU
@@ -398,9 +442,14 @@ def main():
             log(f"  stochastic bench failed: {e}")
         try:
             log("bench: NeRF eval render…")
-            eval_ms = bench_nerf_eval()
+            eval_ms, eval_auto_ms, occ_frac, auto_budget = bench_nerf_eval()
             extras["nerf_eval_ms_per_image"] = round(eval_ms, 2)
-            log(f"  {eval_ms:.1f} ms/image (4096 rays, 512 steps)")
+            extras["nerf_eval_ms_per_image_auto"] = round(eval_auto_ms, 2)
+            extras["nerf_eval_auto_occ_frac"] = round(occ_frac, 4)
+            extras["nerf_eval_auto_budget"] = auto_budget
+            log(f"  {eval_ms:.1f} ms/image static (4096 rays, 512 steps); "
+                f"{eval_auto_ms:.1f} ms/image occupancy-driven "
+                f"(occ={occ_frac:.3f}, budget={auto_budget})")
         except Exception as e:
             log(f"  eval render bench failed: {e}")
         try:

@@ -227,7 +227,21 @@ class TrainConfig:
     num_inference_steps: int = 50
     checkpoint_every: int = 50     # epochs; the reference only saves at the end
     log_every: int = 10
+    # probability of dumping the step's noisy latents / noise prediction
+    # to <workdir>/visualizations/ (reference sample_save_for_vis at
+    # train.py:93,102, p=0.0125).  0 disables and removes the tensors
+    # from the step's outputs entirely.
+    vis_sample_prob: float = 0.0125
     mixed_precision: str = "bfloat16"
+    # storage dtype for the FROZEN partition (SDXL U-Net base + VAE +
+    # conditioning caches; the trainable ip-head/NeRF partition and its
+    # AdamW moments always stay f32).  The joint step computes in bf16
+    # either way (forward_iteration compute_dtype), so this only changes
+    # at-rest HBM: at full SDXL, bf16 frozen state is 4.6 GB vs 9.1 GB
+    # f32 — the policy under which the full-SDXL joint step fits one
+    # 16 GB v5e (scripts/bench_joint_full_sdxl.py).  None = f32 storage.
+    # Must match across --resume (checkpoints carry the storage dtype).
+    frozen_dtype: Optional[str] = None
     # static NeRF sample budget per train step (None = dense lattice eval);
     # the TPU analogue of the reference's mean_count compaction.  A fixed
     # budget that BINDS while occupancy is still dense truncates rays
@@ -253,6 +267,14 @@ class TrainConfig:
     # dense [N, 512] lattice eval)
     sample_budget_eval: Optional[int] = None
     sample_budget_eval_per_ray: int = 64
+    # occupancy-driven eval budget (VERDICT r2 #7): when enabled and the
+    # caller supplies the grid's measured occupied fraction, the eval
+    # budget is suggest_sample_budget(occ, n_rays, max_steps_eval) capped
+    # at the static per-ray default — a trained scene (occ ~1-3%) then
+    # evaluates at a fraction of the 64/ray cost (encode time is linear
+    # in budget, ARCHITECTURE.md eval ablation).  Pow2 bucketing bounds
+    # recompiles of the eval/inference jits to ≤ log2(max_steps_eval).
+    sample_budget_eval_auto: bool = True
 
 
 @dataclass(frozen=True)

@@ -93,8 +93,11 @@ def init_ip_from_unet(params: Dict) -> Dict:
         if isinstance(tree, dict):
             if "to_k_ip" in tree and "to_k" in tree:
                 tree = dict(tree)
-                tree["to_k_ip"] = jax.tree.map(lambda x: x, tree["to_k"])
-                tree["to_v_ip"] = jax.tree.map(lambda x: x, tree["to_v"])
+                # materialize fresh buffers: to_k_ip trains while to_k
+                # stays frozen, and a shared buffer breaks donated train
+                # steps ("donate the same buffer twice")
+                tree["to_k_ip"] = jax.tree.map(jnp.copy, tree["to_k"])
+                tree["to_v_ip"] = jax.tree.map(jnp.copy, tree["to_v"])
                 return tree
             return {k: visit(v) for k, v in tree.items()}
         if isinstance(tree, list):
@@ -183,6 +186,7 @@ def sd_forward(
     compute_dtype=jnp.float32,
     tp_axis=None,
     sp_axis=None,
+    capture_ip_attn_maps: bool = False,
 ):
     """Noise prediction conditioned ONLY on ip tokens
     (reference SDNetwork.forward, network.py:191-212).
@@ -194,10 +198,13 @@ def sd_forward(
       tp_axis / sp_axis: mesh axis names forwarded to ``unet_apply`` for
         tensor-/sequence-parallel serving under `shard_map` (the tiny
         conditioning path stays replicated; only the U-Net shards).
+      capture_ip_attn_maps: also return the ip-stream attention maps
+        (reference attention_processor.py:390-392 viz state) — the return
+        becomes ``(noise_pred, [maps...])``.
     """
     ip_tokens = embed_conditions(params, image_embeds, cfg)
     B = noisy_latents.shape[0]
-    return unet_apply(
+    out = unet_apply(
         params["unet"], noisy_latents, timesteps, ip_tokens,
         added_text_embeds=jnp.broadcast_to(
             params["add_text_embeds"], (B, params["add_text_embeds"].shape[-1])
@@ -207,4 +214,9 @@ def sd_forward(
         compute_dtype=compute_dtype,
         tp_axis=tp_axis,
         sp_axis=sp_axis,
+        capture_ip_attn_maps=capture_ip_attn_maps,
     )
+    if capture_ip_attn_maps:
+        eps, aux = out
+        return eps, aux["ip_attn_maps"]
+    return out

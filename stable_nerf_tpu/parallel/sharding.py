@@ -91,7 +91,8 @@ def shard_batch(batch: Dict, mesh: Mesh, axis: str = "data") -> Dict:
     return {k: put_sharded(v, sharding) for k, v in batch.items()}
 
 
-def make_parallel_train_step(step_fn, mesh: Mesh, axis: str = "data"):
+def make_parallel_train_step(step_fn, mesh: Mesh, axis: str = "data",
+                             with_vis: bool = False, donate: bool = False):
     """Wrap a per-shard train step into an SPMD step via shard_map.
 
     ``step_fn(params, opt_state, grid_state, batch, key)`` must already
@@ -130,10 +131,16 @@ def make_parallel_train_step(step_fn, mesh: Mesh, axis: str = "data"):
 
     batch_spec = P(axis)
     rep = P()
+    # vis tensors (make_train_step(with_vis=True) 4th output) are per-shard
+    # batch outputs — they come back batch-sharded like the input
+    out_specs = (rep, rep, rep, batch_spec) if with_vis else (rep, rep, rep)
     mapped = shard_map(
         device_step,
         mesh=mesh,
         in_specs=(rep, rep, rep, batch_spec, rep),
-        out_specs=(rep, rep, rep),
+        out_specs=out_specs,
     )
-    return jax.jit(mapped)
+    # donate=True aliases params/opt_state in→out (halves their HBM
+    # footprint — at full SDXL scale the un-donated step cannot fit one
+    # chip).  Callers must then always continue from the returned trees.
+    return jax.jit(mapped, donate_argnums=(0, 1) if donate else ())

@@ -65,6 +65,32 @@ def eval_sample_budget(n_rays: int, cfg: TrainConfig) -> Optional[int]:
                n_rays * cfg.max_steps_eval)
 
 
+def eval_budget_for_occupancy(occ_fraction: Optional[float], n_rays: int,
+                              cfg: TrainConfig) -> Optional[int]:
+    """Occupancy-driven eval budget (VERDICT r2 next #7).
+
+    The eval render's cost is linear in the sample budget (ARCHITECTURE.md
+    eval ablation: encode is 207 of 249 ms at 2^18), and a trained scene
+    occupies a few percent of the grid — so size the budget from the
+    measured occupied fraction (pow2-bucketed like the train policy,
+    ops.compaction.suggest_sample_budget) instead of the static 64/ray.
+    The static budget stays as the CAP: it is the measured-safe ceiling,
+    and an occupancy estimate can only shrink it.  Falls back to the
+    static budget when auto is off, an explicit override is set, or no
+    occupancy measurement is available.
+    """
+    static = eval_sample_budget(n_rays, cfg)
+    if (occ_fraction is None or not cfg.sample_budget_eval_auto
+            or cfg.sample_budget_eval is not None):
+        return static
+    from ..ops.compaction import suggest_sample_budget
+
+    budget = suggest_sample_budget(occ_fraction, n_rays, cfg.max_steps_eval)
+    if budget is None:          # estimate reached the dense lattice
+        return static
+    return budget if static is None else min(budget, static)
+
+
 def joint_trainable_mask(params: Dict) -> Dict:
     """Mask over {'sd': …, 'nerf': …}: the reference's optimizer set
     (train.py:179-182) = sd ip-head + whole NeRF."""
@@ -155,6 +181,10 @@ def forward_iteration(
     aux = {
         "pred_target_latent": pred_target,
         "weights_sum": out["weights_sum"],
+        # vis-dump tensors (reference train.py:93,102 saves these at
+        # p=0.0125 via sample_save_for_vis; the loop persists them)
+        "noisy_latents": noisy_latents,
+        "noise_pred": noise_pred,
     }
     return sd_loss, nerf_loss, aux
 
@@ -167,12 +197,18 @@ def make_train_step(
     *,
     sample_budget: Optional[int] = None,
     pmean_axis: Optional[str] = None,
+    with_vis: bool = False,
 ):
     """Build the jitted joint train step.
 
     Differentiates only the mask-selected partition.  When ``pmean_axis`` is
     set (inside shard_map), gradients and metrics are psum-averaged across
     the data axis — including the NeRF (divergence note in module docstring).
+
+    ``with_vis``: additionally return {"latents", "pred"} (the reference's
+    sample_save_for_vis tensors, train.py:93,102) as a 4th output — device
+    arrays, so they cost a host transfer only on the steps the loop
+    actually samples for saving.
     """
 
     def step(params, opt_state, grid_state, batch, key):
@@ -180,13 +216,13 @@ def make_train_step(
 
         def loss_fn(trainable):
             p = combine(trainable, frozen)
-            sd_loss, nerf_loss, _aux = forward_iteration(
+            sd_loss, nerf_loss, aux = forward_iteration(
                 p, grid_state, batch, key, cfg, scheduler,
                 train=True, sample_budget=sample_budget,
             )
-            return sd_loss + nerf_loss, (sd_loss, nerf_loss)
+            return sd_loss + nerf_loss, (sd_loss, nerf_loss, aux)
 
-        (total, (sd_loss, nerf_loss)), grads = jax.value_and_grad(
+        (total, (sd_loss, nerf_loss, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(trainable)
 
@@ -200,17 +236,26 @@ def make_train_step(
         trainable = optax.apply_updates(trainable, updates)
         params = combine(trainable, frozen)
         metrics = {"loss": total, "sd_loss": sd_loss, "nerf_loss": nerf_loss}
+        if with_vis:
+            vis = {"latents": aux["noisy_latents"], "pred": aux["noise_pred"]}
+            return params, opt_state, metrics, vis
         return params, opt_state, metrics
 
     return step
 
 
-def make_eval_step(cfg: JointConfig, scheduler: DDIMScheduler):
-    """Validation forward (reference train.py:229-243, no grad)."""
+def make_eval_step(cfg: JointConfig, scheduler: DDIMScheduler,
+                   sample_budget: Optional[int] = None):
+    """Validation forward (reference train.py:229-243, no grad).
+
+    ``sample_budget``: explicit eval render budget (e.g. the
+    occupancy-driven one from :func:`eval_budget_for_occupancy`); None →
+    the static eval default inside forward_iteration."""
 
     def step(params, grid_state, batch, key):
         sd_loss, nerf_loss, _ = forward_iteration(
             params, grid_state, batch, key, cfg, scheduler, train=False,
+            sample_budget=sample_budget,
         )
         return {"loss": sd_loss + nerf_loss, "sd_loss": sd_loss,
                 "nerf_loss": nerf_loss}

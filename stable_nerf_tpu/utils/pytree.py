@@ -26,3 +26,27 @@ def combine(a: Any, b: Any) -> Any:
         lambda x, y: x if x is not None else y, a, b,
         is_leaf=lambda x: x is None,
     )
+
+
+def dealias(*trees: Any) -> Tuple[Any, ...]:
+    """Copy any leaf array that appears (as the same object) more than once
+    across ``trees``, so every leaf owns its buffer.
+
+    Donated jitted steps (`donate_argnums`) reject trees where two leaves
+    share a device buffer ("Attempt to donate the same buffer twice") —
+    weight-tied inits (e.g. ip heads copied from the U-Net's to_k/to_v,
+    reference network.py:104-110) naturally produce such sharing.  Must be
+    called OUTSIDE jit (jnp.copy under tracing would be a no-op alias).
+    """
+    import jax.numpy as jnp
+
+    seen: set = set()
+
+    def visit(x):
+        if isinstance(x, jax.Array):
+            if id(x) in seen:
+                return jnp.copy(x)
+            seen.add(id(x))
+        return x
+
+    return tuple(jax.tree.map(visit, t) for t in trees)

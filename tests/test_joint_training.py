@@ -368,3 +368,85 @@ class TestInferenceCFG:
         np.testing.assert_allclose(np.asarray(batched(params["sd"])),
                                    np.asarray(two_pass(params["sd"])),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestVisAndAttnCapture:
+    """VERDICT r2 next #6: sample_save_for_vis tensors through the train
+    step, ip attn maps through the inference step."""
+
+    def test_with_vis_returns_reference_tensors(self, setup, key):
+        import dataclasses
+        from stable_nerf_tpu.training.joint import (
+            joint_trainable_mask, make_optimizer, make_train_step,
+        )
+        from stable_nerf_tpu.utils.pytree import partition
+
+        cfg, params, grid_state, scheduler = setup
+        mask = joint_trainable_mask(params)
+        opt = make_optimizer(cfg.train)
+        trainable, _ = partition(params, mask)
+        opt_state = opt.init(trainable)
+        batch = make_batch(key, 1)
+
+        plain = jax.jit(make_train_step(cfg, scheduler, opt, mask))
+        vis_step = jax.jit(make_train_step(cfg, scheduler, opt, mask,
+                                           with_vis=True))
+        p1, o1, m1 = plain(params, opt_state, grid_state, batch, key)
+        p2, o2, m2, vis = vis_step(params, opt_state, grid_state, batch, key)
+        # the vis tensors are the reference's sample_save_for_vis inputs
+        # (train.py:93,102): noisy latents + noise prediction
+        assert set(vis) == {"latents", "pred"}
+        enc = cfg.latent_hw
+        assert vis["latents"].shape == (1, 4, enc, enc)
+        assert vis["pred"].shape == (1, 4, enc, enc)
+        assert np.all(np.isfinite(np.asarray(vis["latents"])))
+        # requesting vis must not change the training math
+        np.testing.assert_array_equal(np.asarray(m1["loss"]),
+                                      np.asarray(m2["loss"]))
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_capture_attn_maps_final_step(self, setup, key):
+        from stable_nerf_tpu.training.inference import make_inference_step
+
+        cfg, params, grid_state, scheduler = setup
+        batch = make_batch(key, 2)
+        plain = jax.jit(make_inference_step(cfg, scheduler, num_steps=3))
+        cap = jax.jit(make_inference_step(cfg, scheduler, num_steps=3,
+                                          capture_attn_maps=True))
+        a = plain(params, grid_state, batch, key)
+        b = cap(params, grid_state, batch, key)
+        # splitting the last step out of the scan must not change the math
+        np.testing.assert_allclose(np.asarray(a["denoised_image"]),
+                                   np.asarray(b["denoised_image"]),
+                                   rtol=2e-5, atol=2e-5)
+        # latent-side NeRF metric (vs deterministic VAE encode of GT):
+        # present, finite, per-image
+        for o in (a, b):
+            lp = np.asarray(o["latent_psnr"])
+            assert lp.shape == (2, 1) and np.all(np.isfinite(lp))  # [B, 1]
+        maps = b["ip_attn_maps"]
+        assert len(maps) >= 1
+        for m in maps:
+            m = np.asarray(m)
+            assert m.shape[0] == 2          # batch
+            # conditioning carries views*num_tokens tokens; the ip stream
+            # attends the LAST num_tokens of them (reference
+            # attention_processor.py first-tokens/last-tokens split)
+            assert m.shape[-1] == cfg.sd.sd.num_tokens
+            assert np.all(np.isfinite(m))
+            # softmax over ip keys sums to 1
+            np.testing.assert_allclose(m.sum(-1),
+                                       np.ones(m.shape[:-1]), atol=1e-3)
+
+    def test_capture_attn_maps_with_cfg_slices_cond_stream(self, setup, key):
+        from stable_nerf_tpu.training.inference import make_inference_step
+
+        cfg, params, grid_state, scheduler = setup
+        batch = make_batch(key, 2)
+        cap = jax.jit(make_inference_step(cfg, scheduler, num_steps=2,
+                                          guidance_scale=7.5,
+                                          capture_attn_maps=True))
+        out = cap(params, grid_state, batch, key)
+        for m in out["ip_attn_maps"]:
+            assert m.shape[0] == 2          # cond half only, not 2B

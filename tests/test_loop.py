@@ -72,9 +72,17 @@ def test_train_loop_end_to_end(synthetic_nerf_root, tmp_path):
     for rec in history:
         assert np.isfinite(rec["train_loss"])
         assert np.isfinite(rec["val_loss"])
-    # metrics persisted as JSONL
-    lines = open(os.path.join(workdir, "metrics.jsonl")).read().splitlines()
-    assert len(lines) == 2 and json.loads(lines[0])["epoch"] == 0
+    # metrics persisted as JSONL: per-epoch records plus interleaved
+    # inference records (kind="inference", inference_every=2 → one here)
+    records = [json.loads(l) for l in
+               open(os.path.join(workdir, "metrics.jsonl"))]
+    epoch_recs = [r for r in records if r.get("kind") != "inference"]
+    inf_recs = [r for r in records if r.get("kind") == "inference"]
+    assert len(epoch_recs) == 2 and epoch_recs[0]["epoch"] == 0
+    assert len(inf_recs) == 1 and inf_recs[0]["epoch"] == 1
+    for k in ("inference_psnr", "inference_latent_psnr", "inference_ssim",
+              "inference_l2_loss"):
+        assert np.isfinite(inf_recs[0][k]), k
     # checkpoints written (epoch cadence 1 + final)
     ckpts = os.listdir(os.path.join(workdir, "checkpoints"))
     assert len(ckpts) >= 1
@@ -419,6 +427,67 @@ def test_train_loop_auto_budget(synthetic_nerf_root, tmp_path):
     assert len(history) == 2
     for rec in history:
         assert np.isfinite(rec["train_loss"])
+
+
+def test_train_loop_frozen_bf16(synthetic_nerf_root, tmp_path):
+    """frozen_dtype="bfloat16" (--frozen-bf16): the frozen partition (U-Net
+    base + VAE) is storage-cast to bf16 while the trainable partition (ip
+    heads + NeRF) and its AdamW state stay f32 — the policy under which
+    full-SDXL joint training fits one 16 GB chip
+    (scripts/bench_joint_full_sdxl.py).  Must survive checkpoint resume."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from stable_nerf_tpu.config import (
+        HashGridConfig, NeRFConfig, SDConfig, TrainConfig,
+    )
+    from stable_nerf_tpu.data.dataset import StableNeRFDataset
+    from stable_nerf_tpu.models.diffusion.sd_network import SDNetworkConfig
+    from stable_nerf_tpu.models.diffusion.unet import tiny_unet_config
+    from stable_nerf_tpu.models.diffusion.vae import VAEConfig
+    from stable_nerf_tpu.training.joint import JointConfig, joint_trainable_mask
+    from stable_nerf_tpu.training.loop import train
+    from stable_nerf_tpu.utils.pytree import partition
+
+    cfg = JointConfig(
+        nerf=NeRFConfig(channel_dim=4, grid_size=16,
+                        encoding_sigma=HashGridConfig(n_levels=2,
+                                                      log2_hashmap_size=8,
+                                                      base_resolution=4)),
+        sd=SDNetworkConfig(
+            sd=SDConfig(num_tokens=2, cross_attention_dim=48, latent_size=16,
+                        image_size=32),
+            unet=tiny_unet_config(),
+            vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                          norm_groups=8),
+        ),
+        train=TrainConfig(batch_size=2, max_steps_train=16, max_steps_eval=16,
+                          inference_every=0, checkpoint_every=1,
+                          frozen_dtype="bfloat16"),
+    )
+    ds = StableNeRFDataset("nerf", shape=32, encoded_shape=16,
+                           root=synthetic_nerf_root)
+    workdir = str(tmp_path / "work_bf16")
+    params, _, hist = train(cfg, ds, workdir=workdir, epochs=1,
+                            log_fn=lambda *a: None)
+    assert np.isfinite(hist[0]["train_loss"])
+
+    def float_dtypes(tree):
+        return {l.dtype for l in jax.tree.leaves(tree)
+                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)}
+
+    trainable, frozen = partition(params, joint_trainable_mask(params))
+    assert float_dtypes(frozen) == {jnp.dtype(jnp.bfloat16)}
+    assert float_dtypes(trainable) == {jnp.dtype(jnp.float32)}
+
+    # resume restores the bf16 storage and keeps training
+    params2, _, hist2 = train(cfg, ds, workdir=workdir, epochs=2, resume=True,
+                              log_fn=lambda *a: None)
+    assert [r["epoch"] for r in hist2] == [1]
+    assert np.isfinite(hist2[0]["train_loss"])
+    _, frozen2 = partition(params2, joint_trainable_mask(params2))
+    assert float_dtypes(frozen2) == {jnp.dtype(jnp.bfloat16)}
 
 
 def test_train_loop_preemption_checkpoint(synthetic_nerf_root, tmp_path):

@@ -136,6 +136,9 @@ def test_two_process_training_loop(tmp_path):
     # params ended identical on both hosts (replicated across the mesh)
     np.testing.assert_allclose(results[0]["param_probe"],
                                results[1]["param_probe"], rtol=1e-6)
-    # exactly one metrics writer (process 0) on the shared filesystem
-    lines = (workdir / "metrics.jsonl").read_text().splitlines()
-    assert len(lines) == 2
+    # exactly one metrics writer (process 0) on the shared filesystem:
+    # 2 epoch records + 1 interleaved-inference record (inference_every=2)
+    records = [json.loads(l) for l in
+               (workdir / "metrics.jsonl").read_text().splitlines()]
+    assert len([r for r in records if r.get("kind") != "inference"]) == 2
+    assert len([r for r in records if r.get("kind") == "inference"]) == 1

@@ -68,6 +68,11 @@ def build_parser():
                    help="fully-shard the SD params + AdamW moments over the "
                         "data axis (ZeRO-3 via GSPMD); composes with "
                         "--tensor-parallel for a 2-D FSDP x TP mesh")
+    p.add_argument("--frozen-bf16", action="store_true",
+                   help="store the frozen partition (SDXL U-Net base + VAE) "
+                        "in bfloat16 — halves its HBM at identical compute "
+                        "dtype; required for full-SDXL joint training on "
+                        "one 16 GB chip (must match across --resume)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize U-Net blocks on backward "
                         "(jax.checkpoint): ~33%% more FLOPs for a fraction "
@@ -89,6 +94,10 @@ def build_parser():
                         "(uncond stream = zeroed image conditioning); 1.0 "
                         "= off, exact reference parity (its CFG is "
                         "commented out, train.py:396-402; intended 10.0)")
+    p.add_argument("--save-attn-maps", action="store_true",
+                   help="with --inference (unsharded): save the final DDIM "
+                        "step's ip-stream cross-attention maps per layer to "
+                        "renders/ip_attn_maps_<batch>.npz")
     p.add_argument("--sp", type=int, default=1,
                    help="with --inference: sequence-parallel axis size for "
                         "the DDIM denoise (ring attention over latent "
@@ -211,6 +220,7 @@ def main(argv=None):
                            else int(args.sample_budget)),
             sample_budget_auto=args.sample_budget == "auto",
             stochastic_until_epoch=args.stochastic_until_epoch,
+            frozen_dtype="bfloat16" if args.frozen_bf16 else None,
         ),
     )
 
@@ -241,7 +251,8 @@ def main(argv=None):
     if args.inference:
         run_inference(cfg, dataset, workdir,
                       tp=args.tensor_parallel, sp=args.sp,
-                      guidance_scale=args.guidance_scale)
+                      guidance_scale=args.guidance_scale,
+                      save_attn_maps=args.save_attn_maps)
         return
     if args.sp > 1:
         sys.exit("--sp is a serving lever (use with --inference); training "
@@ -257,7 +268,8 @@ def main(argv=None):
 
 
 def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1,
-                  guidance_scale: float = 1.0):
+                  guidance_scale: float = 1.0,
+                  save_attn_maps: bool = False):
     import jax
     import numpy as np
 
@@ -294,6 +306,13 @@ def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1,
     params, grid_state = state["params"], state["grid_state"]
 
     scheduler = DDIMScheduler.create(cfg.sd.scheduler)
+    # occupancy-driven eval budget from the restored grid (VERDICT r2 #7)
+    from stable_nerf_tpu.training.joint import eval_budget_for_occupancy
+
+    occ_frac = float(np.mean(np.asarray(grid_state.occ, dtype=np.float32)))
+    budget = eval_budget_for_occupancy(
+        occ_frac, 2 * cfg.latent_hw ** 2, cfg.train)
+    print(f"eval budget: occ={occ_frac:.4f} → {budget} samples/batch")
     if tp > 1 or sp > 1:
         from stable_nerf_tpu.parallel import make_mesh_3d
         from stable_nerf_tpu.training.inference import (
@@ -308,12 +327,13 @@ def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1,
         build = make_sharded_inference_step(
             cfg, scheduler, cfg.train.num_inference_steps,
             mesh=make_mesh_3d(n_needed, sp=sp, tp=tp), tp=tp, sp=sp,
-            guidance_scale=guidance_scale)
+            guidance_scale=guidance_scale, sample_budget=budget)
         params, infer = build(params)
     else:
         infer = jax.jit(make_inference_step(
             cfg, scheduler, cfg.train.num_inference_steps,
-            guidance_scale=guidance_scale))
+            guidance_scale=guidance_scale,
+            capture_attn_maps=save_attn_maps, sample_budget=budget))
     _, _, te_idx = split_dataset(len(dataset), seed=cfg.train.seed)
 
     renders = os.path.join(workdir, "renders")
@@ -332,6 +352,13 @@ def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1,
                       np.asarray(out["denoised_image"][j]))
             _save_png(os.path.join(renders, f"target_{i}_{j}.png"),
                       np.asarray(out["target_image"][j]))
+        if "ip_attn_maps" in out:
+            # final-DDIM-step ip-stream attention maps, one file per
+            # cross-attn layer (reference attention_processor.py:390-392
+            # viz state; saved on demand per VERDICT r2 next #6)
+            np.savez(os.path.join(renders, f"ip_attn_maps_{i}.npz"),
+                     **{f"layer_{n:03d}": np.asarray(m)
+                        for n, m in enumerate(out["ip_attn_maps"])})
     print(f"Average L2 over test set: {total_l2}")
 
 
