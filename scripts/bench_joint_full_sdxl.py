@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build(remat: bool):
+def build(remat: bool, stochastic: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +49,10 @@ def build(remat: bool):
         sd_cfg = dataclasses.replace(
             sd_cfg, unet=dataclasses.replace(sd_cfg.unet, remat=True))
     cfg = JointConfig(
-        nerf=NeRFConfig(channel_dim=4),
+        # --stochastic = the warmup phase of the measured warmup schedule
+        # (unbiased one-corner hash encode, loop.py step_for_budget warm
+        # mode) on the FULL-SDXL joint workload
+        nerf=NeRFConfig(channel_dim=4, hash_stochastic=stochastic),
         sd=sd_cfg,
         train=TrainConfig(max_steps_train=256, sample_budget=2 ** 18),
     )
@@ -115,6 +118,8 @@ def build(remat: bool):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--stochastic", action="store_true",
+                    help="one-corner hash encode (warmup-schedule mode)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--blocks", type=int, default=3)
     args = ap.parse_args()
@@ -123,7 +128,8 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     t0 = time.time()
-    params, opt_state, grid_state, batch, step, key, sizes = build(args.remat)
+    params, opt_state, grid_state, batch, step, key, sizes = build(
+        args.remat, args.stochastic)
     print(f"built + init in {time.time()-t0:.0f}s  {sizes}", file=sys.stderr)
 
     t0 = time.time()
@@ -169,6 +175,7 @@ def main():
     result = {
         "joint_step_full_sdxl_ms": round(best * 1e3, 1),
         "remat": args.remat,
+        "stochastic": args.stochastic,
         "dtype_policy": "frozen bf16 / trainable+moments f32",
         "peak_hbm_gb": round(peak_gb, 2),
         "compile_s": round(compile_s, 0),

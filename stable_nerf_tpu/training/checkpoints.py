@@ -50,6 +50,18 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
+    def wait_until_finished(self):
+        """Block until every dispatched async save has committed.
+
+        MUST be called before process exit if any save() ran with
+        wait=False: orbax streams asynchronously, and interpreter
+        shutdown mid-write raises ('cannot schedule new futures after
+        shutdown') and leaves only a corrupt .orbax-checkpoint-tmp — a
+        clean-looking exit with NO durable checkpoint (observed live on
+        the round-3 SIGTERM demo when a periodic epoch save raced the
+        preemption exit)."""
+        self.manager.wait_until_finished()
+
     def close(self):
         self.manager.wait_until_finished()
         self.manager.close()

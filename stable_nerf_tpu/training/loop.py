@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import signal
+import time
 from typing import Dict, Optional
 
 import jax
@@ -158,6 +159,20 @@ def _train_impl(
     key = jax.random.PRNGKey(seed)
     k_sd, k_nerf, key = jax.random.split(key, 3)
 
+    def log_hbm(stage):
+        """STABLE_NERF_LOG_HBM=1: print per-device HBM after each setup
+        stage — the tool for localizing which allocation OOMs a chip."""
+        if os.environ.get("STABLE_NERF_LOG_HBM") != "1":
+            return
+        from ..utils.profiling import device_memory_stats
+
+        for dev, s in device_memory_stats().items():
+            if s.get("bytes_in_use") is not None:
+                log_fn(f"hbm[{stage}] {dev}: "
+                       f"in_use={s['bytes_in_use']/2**30:.2f} GB "
+                       f"peak={(s.get('peak_bytes_in_use') or 0)/2**30:.2f} GB"
+                       f" limit={(s.get('bytes_limit') or 0)/2**30:.2f} GB")
+
     scheduler = DDIMScheduler.create(cfg.sd.scheduler)
     sd_params = sd_network_init(k_sd, cfg.sd)
     if pretrained_sd is not None:
@@ -181,6 +196,8 @@ def _train_impl(
                    f"(pooled mean {float(pooled.mean()):+.4f})")
     sd_params = init_ip_from_unet(sd_params)
     params = {"sd": sd_params, "nerf": nerf_init(k_nerf, cfg.nerf)}
+    del sd_params, pretrained_sd   # params owns the tree from here on
+    log_hbm("params-init")
 
     if cfg.train.frozen_dtype is not None:
         # storage-cast the frozen partition (config.TrainConfig.frozen_dtype
@@ -188,13 +205,23 @@ def _train_impl(
         # templates so checkpoints round-trip in the storage dtype
         dt = jnp.dtype(cfg.train.frozen_dtype)
         t0, f0 = partition(params, joint_trainable_mask(params))
-        f0 = jax.tree.map(
-            lambda x: (x.astype(dt)
-                       if x is not None
-                       and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
-                       else x),
-            f0, is_leaf=lambda x: x is None)
+        # one jitted call with the f32 tree DONATED: an eager per-leaf
+        # astype holds the full f32 frozen partition (~9 GB at SDXL scale)
+        # alive alongside the growing bf16 copy and OOMs a 16 GB chip;
+        # donation lets XLA free each f32 buffer as it is converted, so
+        # peak stays ~one tree, not two
+        f0 = jax.jit(
+            lambda t: jax.tree.map(
+                lambda x: (x.astype(dt)
+                           if x is not None
+                           and jnp.issubdtype(x.dtype, jnp.floating)
+                           else x),
+                t, is_leaf=lambda x: x is None),
+            donate_argnums=0,
+        )(f0)
         params = combine(t0, f0)
+        del t0, f0
+        log_hbm("frozen-cast")
 
     grid_state = grid_init(cfg.nerf)
     grid_state = jax.jit(
@@ -205,6 +232,8 @@ def _train_impl(
     optimizer = make_optimizer(cfg.train)
     trainable, _ = partition(params, mask)
     opt_state = optimizer.init(trainable)
+    del trainable
+    log_hbm("opt-init")
 
     gspmd = tensor_parallel > 1 or fsdp
     if tensor_parallel > 1 and mesh is None:
@@ -424,6 +453,7 @@ def _train_impl(
     # two leaves (e.g. ip heads initialized from the U-Net's to_k/to_v, or
     # a checkpoint restored with deduplicated arrays) would fail execution
     params, opt_state = dealias(params, opt_state)
+    log_hbm("dealias")
 
     for epoch in range(start_epoch, epochs):
         key, k_grid = jax.random.split(key)
@@ -445,6 +475,7 @@ def _train_impl(
 
         train_metrics = []
         tracing = False
+        t_train0 = time.perf_counter()
         for i, batch in enumerate(device_prefetch(
             iterate(dataset, tr_idx, feed_batch, shuffle=True,
                     seed=seed + epoch),
@@ -465,10 +496,7 @@ def _train_impl(
                     jax.profiler.stop_trace()
                     tracing = False
             key, k_step = jax.random.split(key)
-            with timer.step(rays=2 * global_batch * cfg.latent_hw ** 2):
-                out = step_fn(
-                    params, opt_state, grid_state, batch, k_step
-                )
+            out = step_fn(params, opt_state, grid_state, batch, k_step)
             if len(out) == 4:
                 params, opt_state, m, vis = out
                 # reference train.py:93,102: independent p=0.0125 draw per
@@ -492,6 +520,18 @@ def _train_impl(
             else:
                 params, opt_state, m = out
             train_metrics.append(m)
+        # drain the async dispatch queue before reading the clock: steps are
+        # dispatched without blocking (good — keeps the device pipeline
+        # full), so per-step host timing would measure enqueue, not compute
+        # (the round-3 demo logged 220k "rays/s" where the true device rate
+        # was 15.5k).  Epoch wall over a barrier is the honest number.
+        if train_metrics:
+            jax.block_until_ready(train_metrics[-1])
+        train_wall = time.perf_counter() - t_train0
+        timer.observe(
+            steps=len(train_metrics),
+            rays=2 * global_batch * cfg.latent_hw ** 2 * len(train_metrics),
+            seconds=train_wall)
         if tracing:          # epoch shorter than the trace window
             jax.block_until_ready(params)
             jax.profiler.stop_trace()
@@ -499,7 +539,12 @@ def _train_impl(
         if preempted:
             # save mid-epoch state as a resumable checkpoint (the epoch is
             # incomplete, so it re-runs on --resume) unless one at least
-            # this fresh already exists (orbax refuses duplicate steps)
+            # this fresh already exists (orbax refuses duplicate steps).
+            # latest_step() can report a step whose ASYNC save is still
+            # streaming (the periodic epoch save below runs wait=False) —
+            # exiting on that basis alone corrupts it mid-write, so both
+            # arms drain the manager before the process goes down
+            # (observed live: round-3 demo, ROUND3_NOTES §10).
             latest = ckpt.latest_step()
             if latest is None or latest < epoch:
                 ckpt.save(epoch, params, opt_state, grid_state,
@@ -507,8 +552,9 @@ def _train_impl(
                 log_fn(f"preempted (SIGTERM): resumable checkpoint saved; "
                        f"epoch {epoch} re-runs on --resume")
             else:
+                ckpt.wait_until_finished()
                 log_fn(f"preempted (SIGTERM): checkpoint step {latest} "
-                       f"already current; exiting cleanly")
+                       f"committed; exiting cleanly")
             break
 
         # Val/inference run replicated on every host (va_idx/te_idx are the
@@ -602,4 +648,7 @@ def _train_impl(
         # checkpoint it just restored
         ckpt.save(epochs, params, opt_state, grid_state,
                   extra={"epoch": epochs}, wait=True)
+    # drain any still-streaming periodic save before returning control
+    # toward interpreter exit (same hazard as the preempt branch)
+    ckpt.wait_until_finished()
     return params, grid_state, history

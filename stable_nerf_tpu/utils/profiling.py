@@ -15,7 +15,17 @@ import jax
 
 
 class StepTimer:
-    """Accumulates step wall time and ray counts (EMA + totals)."""
+    """Accumulates step wall time and ray counts (EMA + totals).
+
+    Two ways to feed it:
+
+    - ``with timer.step(rays=…):`` around a BLOCKING call.  Do NOT wrap an
+      async-dispatched jitted step: the context would time the enqueue, not
+      the compute, and report wildly inflated rates.
+    - ``timer.observe(steps, rays, seconds)`` with a wall-clock span taken
+      over an explicit ``jax.block_until_ready`` barrier (how the training
+      loop reports per-epoch throughput without serializing dispatch).
+    """
 
     def __init__(self, ema: float = 0.9):
         self.ema = ema
@@ -34,6 +44,19 @@ class StepTimer:
         self.total_rays += rays
         self.total_time += dt
         self._last_rays = rays
+        self.avg_dt = dt if self.avg_dt is None else (
+            self.ema * self.avg_dt + (1 - self.ema) * dt
+        )
+
+    def observe(self, steps: int, rays: int, seconds: float):
+        """Record a barrier-bounded span covering ``steps`` steps."""
+        if steps <= 0 or seconds <= 0:
+            return
+        self.total_steps += steps
+        self.total_rays += rays
+        self.total_time += seconds
+        dt = seconds / steps
+        self._last_rays = rays // steps
         self.avg_dt = dt if self.avg_dt is None else (
             self.ema * self.avg_dt + (1 - self.ema) * dt
         )

@@ -25,6 +25,18 @@ class TestStepTimer:
         assert t.steps_per_sec() == 0.0
         assert t.rays_per_sec() == 0.0
 
+    def test_observe_barrier_span(self):
+        # the loop reports per-epoch throughput via observe() over a
+        # block_until_ready barrier (async dispatch makes per-step host
+        # timing measure enqueue, not compute)
+        t = StepTimer()
+        t.observe(steps=10, rays=81920, seconds=2.0)
+        assert t.total_steps == 10 and t.total_rays == 81920
+        assert abs(t.steps_per_sec() - 5.0) < 1e-9
+        assert abs(t.rays_per_sec() - 40960.0) < 1e-6
+        t.observe(steps=0, rays=0, seconds=0.0)   # no-op, no div-by-zero
+        assert t.total_steps == 10
+
 
 def test_device_memory_stats_shape():
     out = device_memory_stats()
