@@ -427,6 +427,13 @@ def main():
         }))
         return
 
+    try:  # persistent XLA cache: repeat captures skip recompiles
+        from train import enable_compile_cache
+
+        enable_compile_cache(None)
+    except Exception as e:
+        log(f"bench: compile cache unavailable: {e}")
+
     log("bench: NeRF train render…")
     rays_per_sec, _ = bench_nerf_render()
     log(f"  {rays_per_sec:.0f} rays/s")

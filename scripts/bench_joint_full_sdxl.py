@@ -126,6 +126,12 @@ def main():
 
     import jax
 
+    # persistent compile cache: a repeat bench (or the driver's round-end
+    # capture) skips the ~12 min full-SDXL compile when nothing changed
+    from train import enable_compile_cache
+
+    enable_compile_cache(None)
+
     print(f"devices: {jax.devices()}", file=sys.stderr)
     t0 = time.time()
     params, opt_state, grid_state, batch, step, key, sizes = build(

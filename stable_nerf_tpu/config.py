@@ -226,6 +226,14 @@ class TrainConfig:
     bg_color: float = 1.0
     num_inference_steps: int = 50
     checkpoint_every: int = 50     # epochs; the reference only saves at the end
+    # checkpoint only the TRAINABLE partition (+ optimizer moments + grid +
+    # epoch), excluding the frozen SDXL base: the frozen partition is
+    # byte-reproducible from (seed, --sdxl-checkpoint, frozen_dtype), all
+    # recorded in the checkpoint directory's FORMAT.json and verified on
+    # restore.  At full SDXL this halves the ~9 GB checkpoint to ~4.5 GB
+    # and cuts the preemption-save drain accordingly.  Off by default
+    # (full-state checkpoints restore with no reconstruction step).
+    checkpoint_trainable_only: bool = False
     log_every: int = 10
     # probability of dumping the step's noisy latents / noise prediction
     # to <workdir>/visualizations/ (reference sample_save_for_vis at

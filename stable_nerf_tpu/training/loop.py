@@ -138,6 +138,108 @@ def train(
         uninstall()
 
 
+def build_initial_params(cfg: JointConfig, k_sd, k_nerf,
+                         pretrained_sd: Optional[Dict] = None,
+                         log_fn=print, log_hbm=lambda stage: None):
+    """The joint param tree exactly as a fresh run constructs it: random
+    init from (k_sd, k_nerf), optional pretrained-SDXL overlay (with the
+    one-time empty-prompt conditioning cache, reference network.py:114-168),
+    IP heads initialized from the U-Net's own to_k/to_v (network.py:104-110),
+    and the frozen partition storage-cast to ``cfg.train.frozen_dtype``.
+
+    Shared by the training loop and by trainable-only checkpoint restore
+    (checkpoints carrying only the trainable partition reconstruct the
+    frozen one through this very function, so it must stay byte-deterministic
+    in its inputs)."""
+    sd_params = sd_network_init(k_sd, cfg.sd)
+    if pretrained_sd is not None:
+        pretrained_sd = dict(pretrained_sd)
+        # The CLIP text towers only exist to cache the empty-prompt SDXL
+        # conditioning once at init (reference network.py:114-168); they are
+        # consumed here and never enter the jitted train step.
+        te1 = pretrained_sd.pop("text_encoder", None)
+        te2 = pretrained_sd.pop("text_encoder_2", None)
+        sd_params.update(pretrained_sd)
+        if te1 is not None and te2 is not None:
+            from ..models.diffusion.clip_text import (
+                make_empty_prompt_conditioning,
+            )
+
+            _, pooled, time_ids = jax.jit(make_empty_prompt_conditioning)(
+                te1, te2)
+            sd_params["add_text_embeds"] = pooled
+            sd_params["add_time_ids"] = time_ids
+            log_fn("cached real empty-prompt conditioning "
+                   f"(pooled mean {float(pooled.mean()):+.4f})")
+    sd_params = init_ip_from_unet(sd_params)
+    params = {"sd": sd_params, "nerf": nerf_init(k_nerf, cfg.nerf)}
+    del sd_params
+    log_hbm("params-init")
+
+    if cfg.train.frozen_dtype is not None:
+        # storage-cast the frozen partition (config.TrainConfig.frozen_dtype
+        # docstring); applied before optimizer init and before the resume
+        # templates so checkpoints round-trip in the storage dtype
+        dt = jnp.dtype(cfg.train.frozen_dtype)
+        t0, f0 = partition(params, joint_trainable_mask(params))
+        # one jitted call with the f32 tree DONATED: an eager per-leaf
+        # astype holds the full f32 frozen partition (~9 GB at SDXL scale)
+        # alive alongside the growing bf16 copy and OOMs a 16 GB chip;
+        # donation lets XLA free each f32 buffer as it is converted, so
+        # peak stays ~one tree, not two
+        f0 = jax.jit(
+            lambda t: jax.tree.map(
+                lambda x: (x.astype(dt)
+                           if x is not None
+                           and jnp.issubdtype(x.dtype, jnp.floating)
+                           else x),
+                t, is_leaf=lambda x: x is None),
+            donate_argnums=0,
+        )(f0)
+        params = combine(t0, f0)
+        del t0, f0
+        log_hbm("frozen-cast")
+    return params
+
+
+def _resolve_ckpt_format(ckpt, cfg, seed, has_pretrained, resume, log_fn):
+    """Decide this run's checkpoint format and validate a trainable-only
+    resume.
+
+    A directory that already holds checkpoints keeps its format (mixing
+    state-dict layouts under one manager would make older steps
+    unrestorable).  For a trainable-only resume, the frozen partition is
+    reconstructed from (seed, pretrained overlay, frozen_dtype) — those
+    inputs are recorded in FORMAT.json and must match this run's exactly,
+    or the restored trainables would sit on top of a DIFFERENT frozen
+    model: refuse loudly instead.  Returns (trainable_only, fmt_dict)."""
+    want = bool(cfg.train.checkpoint_trainable_only)
+    on_disk = ckpt.read_format()
+    has_steps = ckpt.latest_step() is not None
+    t_only = bool(on_disk.get("trainable_only")) if has_steps else want
+    if has_steps and t_only != want:
+        log_fn(f"checkpoints: directory already holds "
+               f"{'trainable-only' if t_only else 'full-state'} checkpoints "
+               f"— continuing in that format")
+    if t_only and has_steps and resume:
+        expect = {"seed": seed, "pretrained_sd": has_pretrained,
+                  "frozen_dtype": cfg.train.frozen_dtype}
+        got = {k: on_disk.get(k) for k in expect}
+        if got != expect:
+            raise ValueError(
+                "trainable-only checkpoint restore refused: the frozen "
+                "partition is rebuilt from (seed, --sdxl-checkpoint, "
+                f"frozen_dtype), but the checkpoint records {got} while "
+                f"this run has {expect} — the restored trainables would "
+                "condition a different frozen model")
+    fmt = None
+    if t_only:
+        fmt = {"version": 2, "trainable_only": True, "seed": seed,
+               "pretrained_sd": has_pretrained,
+               "frozen_dtype": cfg.train.frozen_dtype}
+    return t_only, fmt
+
+
 def _train_impl(
     cfg: JointConfig,
     dataset: StableNeRFDataset,
@@ -174,54 +276,10 @@ def _train_impl(
                        f" limit={(s.get('bytes_limit') or 0)/2**30:.2f} GB")
 
     scheduler = DDIMScheduler.create(cfg.sd.scheduler)
-    sd_params = sd_network_init(k_sd, cfg.sd)
-    if pretrained_sd is not None:
-        pretrained_sd = dict(pretrained_sd)
-        # The CLIP text towers only exist to cache the empty-prompt SDXL
-        # conditioning once at init (reference network.py:114-168); they are
-        # consumed here and never enter the jitted train step.
-        te1 = pretrained_sd.pop("text_encoder", None)
-        te2 = pretrained_sd.pop("text_encoder_2", None)
-        sd_params.update(pretrained_sd)
-        if te1 is not None and te2 is not None:
-            from ..models.diffusion.clip_text import (
-                make_empty_prompt_conditioning,
-            )
-
-            _, pooled, time_ids = jax.jit(make_empty_prompt_conditioning)(
-                te1, te2)
-            sd_params["add_text_embeds"] = pooled
-            sd_params["add_time_ids"] = time_ids
-            log_fn("cached real empty-prompt conditioning "
-                   f"(pooled mean {float(pooled.mean()):+.4f})")
-    sd_params = init_ip_from_unet(sd_params)
-    params = {"sd": sd_params, "nerf": nerf_init(k_nerf, cfg.nerf)}
-    del sd_params, pretrained_sd   # params owns the tree from here on
-    log_hbm("params-init")
-
-    if cfg.train.frozen_dtype is not None:
-        # storage-cast the frozen partition (config.TrainConfig.frozen_dtype
-        # docstring); applied before optimizer init and before the resume
-        # templates so checkpoints round-trip in the storage dtype
-        dt = jnp.dtype(cfg.train.frozen_dtype)
-        t0, f0 = partition(params, joint_trainable_mask(params))
-        # one jitted call with the f32 tree DONATED: an eager per-leaf
-        # astype holds the full f32 frozen partition (~9 GB at SDXL scale)
-        # alive alongside the growing bf16 copy and OOMs a 16 GB chip;
-        # donation lets XLA free each f32 buffer as it is converted, so
-        # peak stays ~one tree, not two
-        f0 = jax.jit(
-            lambda t: jax.tree.map(
-                lambda x: (x.astype(dt)
-                           if x is not None
-                           and jnp.issubdtype(x.dtype, jnp.floating)
-                           else x),
-                t, is_leaf=lambda x: x is None),
-            donate_argnums=0,
-        )(f0)
-        params = combine(t0, f0)
-        del t0, f0
-        log_hbm("frozen-cast")
+    had_pretrained = pretrained_sd is not None
+    params = build_initial_params(cfg, k_sd, k_nerf, pretrained_sd,
+                                  log_fn=log_fn, log_hbm=log_hbm)
+    del pretrained_sd   # params owns the tree from here on
 
     grid_state = grid_init(cfg.nerf)
     grid_state = jax.jit(
@@ -254,6 +312,28 @@ def _train_impl(
         return place_joint_for_gspmd(p, mesh)
 
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+    t_only, ckpt_fmt = _resolve_ckpt_format(
+        ckpt, cfg, seed, had_pretrained, resume, log_fn)
+
+    def save_ckpt(step_num: int, wait: bool = False):
+        """One place for the format switch: v1 saves the full param tree
+        under "params"; v2 saves only the trainable partition under
+        "trainable" (+ FORMAT.json recording the frozen-reconstruction
+        inputs) — at full SDXL that halves the ~9 GB state write."""
+        p, pk = params, "params"
+        if t_only:
+            p, _ = partition(p, mask)
+            pk = "trainable"
+        t0 = time.perf_counter()
+        ckpt.save(step_num, p, opt_state, grid_state,
+                  extra={"epoch": step_num}, wait=wait, params_key=pk,
+                  fmt=ckpt_fmt if jax.process_index() == 0 else None)
+        if wait:
+            # synchronous saves can take minutes at full SDXL over a slow
+            # D2H path (measured ~8 MB/s on the tunnel) — make it visible
+            log_fn(f"checkpoint step {step_num} committed in "
+                   f"{time.perf_counter() - t0:.0f}s")
+
     start_epoch = 0
     placed = False
     if resume:
@@ -297,10 +377,22 @@ def _train_impl(
             opt_tmpl = jax.tree.map(lambda x, s: sds(x, norm(s)),
                                     opt_shapes, opt_shardings)
             grid_tmpl = jax.tree.map(lambda x: sds(x, rep), grid_state)
-            state = ckpt.restore(template={
-                "params": params_tmpl, "opt_state": opt_tmpl,
-                "grid_state": grid_tmpl, "extra": {"epoch": 0}})
-            params, opt_state = state["params"], state["opt_state"]
+            tmpl = {"opt_state": opt_tmpl, "grid_state": grid_tmpl,
+                    "extra": {"epoch": 0}}
+            if t_only:
+                tmpl["trainable"] = trainable_tmpl
+            else:
+                tmpl["params"] = params_tmpl
+            state = ckpt.restore(template=tmpl)
+            if t_only:
+                # frozen partition: reconstructed (build_initial_params,
+                # inputs validated against FORMAT.json) and placed into the
+                # production shardings; trainables come from the checkpoint
+                _, frozen_placed = partition(place_for_gspmd(params), mask)
+                params = combine(state["trainable"], frozen_placed)
+            else:
+                params = state["params"]
+            opt_state = state["opt_state"]
             grid_state = state["grid_state"]
             start_epoch = int(state["extra"].get("epoch", 0))
             placed = True
@@ -308,17 +400,27 @@ def _train_impl(
                    f"(epoch {start_epoch}, sharded restore over "
                    f"{int(mesh.devices.size)} devices)")
         else:
-            state = ckpt.restore(template={
-                "params": params, "opt_state": opt_state,
-                "grid_state": grid_state, "extra": {"epoch": 0}})
+            tmpl = {"opt_state": opt_state, "grid_state": grid_state,
+                    "extra": {"epoch": 0}}
+            if t_only:
+                tmpl["trainable"], _ = partition(params, mask)
+            else:
+                tmpl["params"] = params
+            state = ckpt.restore(template=tmpl)
             # to-host: restored leaves must be uncommitted so the replicate
             # below (or the single-device jit) decides where they live
             state = jax.tree.map(np.asarray, state)
-            params, opt_state = state["params"], state["opt_state"]
+            if t_only:
+                _, frozen = partition(params, mask)
+                params = combine(state["trainable"], frozen)
+            else:
+                params = state["params"]
+            opt_state = state["opt_state"]
             grid_state = state["grid_state"]
             start_epoch = int(state["extra"].get("epoch", 0))
             log_fn(f"resumed from checkpoint step {ckpt.latest_step()} "
-                   f"(epoch {start_epoch})")
+                   f"(epoch {start_epoch}"
+                   + (", trainable-only format)" if t_only else ")"))
 
     step_cache = {}
 
@@ -547,8 +649,7 @@ def _train_impl(
             # (observed live: round-3 demo, ROUND3_NOTES §10).
             latest = ckpt.latest_step()
             if latest is None or latest < epoch:
-                ckpt.save(epoch, params, opt_state, grid_state,
-                          extra={"epoch": epoch}, wait=True)
+                save_ckpt(epoch, wait=True)
                 log_fn(f"preempted (SIGTERM): resumable checkpoint saved; "
                        f"epoch {epoch} re-runs on --resume")
             else:
@@ -639,15 +740,13 @@ def _train_impl(
 
         if (cfg.train.checkpoint_every > 0
                 and (epoch + 1) % cfg.train.checkpoint_every == 0):
-            ckpt.save(epoch + 1, params, opt_state, grid_state,
-                      extra={"epoch": epoch + 1})
+            save_ckpt(epoch + 1)
 
     if epochs > start_epoch and not preempted:
         # skip when no epoch ran: a resume with nothing left to do must not
         # rewrite (or, with epochs < the recorded epoch, mislabel) the
         # checkpoint it just restored
-        ckpt.save(epochs, params, opt_state, grid_state,
-                  extra={"epoch": epochs}, wait=True)
+        save_ckpt(epochs, wait=True)
     # drain any still-streaming periodic save before returning control
     # toward interpreter exit (same hazard as the preempt branch)
     ckpt.wait_until_finished()

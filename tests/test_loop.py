@@ -544,6 +544,11 @@ def test_train_loop_preemption_checkpoint(synthetic_nerf_root, tmp_path):
     assert signal.getsignal(signal.SIGTERM) is prev
     ckpts = os.listdir(os.path.join(workdir, "checkpoints"))
     assert len(ckpts) >= 1
+    # the moment train() returns, a FINALIZED checkpoint must exist: the
+    # round-3 learning demo exited on a still-streaming async save and left
+    # only a 48 MB `50.orbax-checkpoint-tmp` of a ~9 GB state (corrupt,
+    # unrestorable) — both preemption arms must drain the manager first
+    assert any(not c.endswith("orbax-checkpoint-tmp") for c in ckpts), ckpts
 
     # resume completes the job from the saved state
     logs2 = []
@@ -554,3 +559,98 @@ def test_train_loop_preemption_checkpoint(synthetic_nerf_root, tmp_path):
     assert len(hist2) >= 1
     for rec in hist2:
         assert np.isfinite(rec["train_loss"])
+
+
+def test_train_loop_trainable_only_checkpoint(synthetic_nerf_root, tmp_path):
+    """checkpoint_trainable_only (--checkpoint-trainable-only): v2
+    checkpoints carry only the trainable partition + optimizer + grid; the
+    frozen SDXL base is reconstructed on restore from the (seed,
+    pretrained, frozen_dtype) recorded in FORMAT.json.  At full SDXL this
+    halves the ~9 GB state write.  Mismatched reconstruction inputs must
+    refuse loudly — restored trainables on a different frozen model are
+    silent garbage."""
+    import dataclasses
+    import json
+
+    import jax
+    import pytest
+    from stable_nerf_tpu.config import (
+        HashGridConfig, NeRFConfig, SDConfig, TrainConfig,
+    )
+    from stable_nerf_tpu.data.dataset import StableNeRFDataset
+    from stable_nerf_tpu.models.diffusion.sd_network import SDNetworkConfig
+    from stable_nerf_tpu.models.diffusion.unet import tiny_unet_config
+    from stable_nerf_tpu.models.diffusion.vae import VAEConfig
+    from stable_nerf_tpu.training.checkpoints import CheckpointManager
+    from stable_nerf_tpu.training.joint import JointConfig, joint_trainable_mask
+    from stable_nerf_tpu.training.loop import train
+    from stable_nerf_tpu.utils.pytree import partition
+
+    cfg = JointConfig(
+        nerf=NeRFConfig(channel_dim=4, grid_size=16,
+                        encoding_sigma=HashGridConfig(n_levels=2,
+                                                      log2_hashmap_size=8,
+                                                      base_resolution=4)),
+        sd=SDNetworkConfig(
+            sd=SDConfig(num_tokens=2, cross_attention_dim=48, latent_size=16,
+                        image_size=32),
+            unet=tiny_unet_config(),
+            vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1,
+                          norm_groups=8),
+        ),
+        train=TrainConfig(batch_size=2, max_steps_train=16, max_steps_eval=16,
+                          inference_every=0, checkpoint_every=1,
+                          frozen_dtype="bfloat16",
+                          checkpoint_trainable_only=True),
+    )
+    ds = StableNeRFDataset("nerf", shape=32, encoded_shape=16,
+                           root=synthetic_nerf_root)
+    workdir = str(tmp_path / "work_tonly")
+    params, _, hist = train(cfg, ds, workdir=workdir, epochs=1,
+                            log_fn=lambda *a: None)
+    assert np.isfinite(hist[0]["train_loss"])
+
+    # FORMAT.json records the frozen-reconstruction inputs
+    fmt = json.load(open(os.path.join(workdir, "checkpoints", "FORMAT.json")))
+    assert fmt == {"version": 2, "trainable_only": True, "seed": 0,
+                   "pretrained_sd": False, "frozen_dtype": "bfloat16"}
+
+    # the stored state dict has no frozen partition (raw, template-free read)
+    mgr = CheckpointManager(os.path.join(workdir, "checkpoints"))
+    raw = mgr.restore()
+    assert "trainable" in raw and "params" not in raw
+    n_stored = sum(x.size for x in jax.tree.leaves(raw["trainable"]))
+    n_full = sum(x.size for x in jax.tree.leaves(params))
+    assert n_stored < n_full / 2  # the frozen majority is not written
+
+    # resume reconstructs the frozen partition BIT-EXACTLY (same seed/cast)
+    params2, _, hist2 = train(cfg, ds, workdir=workdir, epochs=2, resume=True,
+                              log_fn=lambda *a: None)
+    assert [r["epoch"] for r in hist2] == [1]
+    assert np.isfinite(hist2[0]["train_loss"])
+    # frozen never receives updates, so run-1's frozen and the resume's
+    # seed-reconstructed frozen must both equal the init — bit-exact
+    mask = joint_trainable_mask(params)
+    _, frozen1 = partition(params, mask)
+    _, frozen2 = partition(params2, mask)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree.leaves(frozen1),
+                               jax.tree.leaves(frozen2)))
+
+    # mismatched seed → the frozen model would differ → loud refusal
+    with pytest.raises(ValueError, match="trainable-only checkpoint"):
+        train(cfg, ds, workdir=workdir, epochs=3, resume=True, seed=1,
+              log_fn=lambda *a: None)
+
+    # a directory holding FULL checkpoints keeps its format even if the
+    # config now asks for trainable-only (mixed layouts are unrestorable)
+    cfg_full = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train,
+                                       checkpoint_trainable_only=False))
+    workdir2 = str(tmp_path / "work_full")
+    train(cfg_full, ds, workdir=workdir2, epochs=1, log_fn=lambda *a: None)
+    logs = []
+    train(cfg, ds, workdir=workdir2, epochs=2, resume=True, log_fn=logs.append)
+    assert any("continuing in that format" in str(m) for m in logs)
+    mgr2 = CheckpointManager(os.path.join(workdir2, "checkpoints"))
+    assert "params" in mgr2.restore()  # still v1
