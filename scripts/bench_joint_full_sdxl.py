@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build(remat: bool, stochastic: bool = False):
+def build(remat: bool, stochastic: bool = False, batch: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -54,7 +54,10 @@ def build(remat: bool, stochastic: bool = False):
         # mode) on the FULL-SDXL joint workload
         nerf=NeRFConfig(channel_dim=4, hash_stochastic=stochastic),
         sd=sd_cfg,
-        train=TrainConfig(max_steps_train=256, sample_budget=2 ** 18),
+        train=TrainConfig(batch_size=batch, max_steps_train=256,
+                          # scale the NeRF budget with the rays (VERDICT r3
+                          # #6 batch sweep): 2^18 per 8192 rays
+                          sample_budget=batch * 2 ** 18),
     )
     key = jax.random.PRNGKey(0)
 
@@ -99,7 +102,7 @@ def build(remat: bool, stochastic: bool = False):
                                    sample_budget=cfg.train.sample_budget),
                    donate_argnums=(0, 1))
 
-    B, enc, img = 1, cfg.sd.sd.latent_size, cfg.sd.sd.image_size
+    B, enc, img = batch, cfg.sd.sd.latent_size, cfg.sd.sd.image_size
     ks = jax.random.split(key, 3)
     intr = (138.0, 138.0, enc / 2, enc / 2)
     rt = get_rays(rand_poses(ks[0], B, radius=2.0), intr, enc, enc)
@@ -120,6 +123,9 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--stochastic", action="store_true",
                     help="one-corner hash encode (warmup-schedule mode)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="samples per step (2 views each); batch >= 2 "
+                         "needs --remat on a 16 GB chip")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--blocks", type=int, default=3)
     args = ap.parse_args()
@@ -135,7 +141,7 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     t0 = time.time()
     params, opt_state, grid_state, batch, step, key, sizes = build(
-        args.remat, args.stochastic)
+        args.remat, args.stochastic, args.batch)
     print(f"built + init in {time.time()-t0:.0f}s  {sizes}", file=sys.stderr)
 
     t0 = time.time()
@@ -178,8 +184,28 @@ def main():
 
     stats = jax.local_devices()[0].memory_stats() or {}
     peak_gb = stats.get("peak_bytes_in_use", 0) / 2 ** 30
+    # U-Net-portion MFU estimate: analytic fwd FLOPs × 3 (fwd + ~2× bwd;
+    # frozen-weight-grad elision makes the true factor slightly lower, so
+    # this MFU is a floor) over the step time.  The U-Net sees 2B views.
+    from stable_nerf_tpu.models.diffusion.unet import sdxl_unet_config
+    from stable_nerf_tpu.utils.flops import unet_forward_flops
+
+    unet_flops = 3.0 * unet_forward_flops(sdxl_unet_config(), 2 * args.batch,
+                                          64)
+    if args.remat:
+        unet_flops *= 4.0 / 3.0    # rematerialized forward on the backward
+    from bench import detect_peak_flops
+
+    kind, peak = detect_peak_flops()
+
     result = {
         "joint_step_full_sdxl_ms": round(best * 1e3, 1),
+        "batch": args.batch,
+        "views_per_sec": round(2 * args.batch / best, 2),
+        "unet_gflops_per_step_3xfwd": round(unet_flops / 1e9, 1),
+        "joint_unet_mfu_floor": (round(unet_flops / best / peak, 4)
+                                 if peak else None),
+        "device_kind": kind,
         "remat": args.remat,
         "stochastic": args.stochastic,
         "dtype_policy": "frozen bf16 / trainable+moments f32",

@@ -544,6 +544,40 @@ def precheck_sdxl_checkpoint(checkpoint_dir: str,
             f"{checkpoint_dir}:\n  " + "\n  ".join(problems))
 
 
+def checkpoint_fingerprint(checkpoint_dir: str) -> Dict:
+    """Cheap content identity of an SDXL checkpoint directory, recorded in
+    the run's FORMAT.json sidecar (ADVICE r3 #1): a trainable-only
+    checkpoint's frozen partition is rebuilt from ``--sdxl-checkpoint``, so
+    resuming/inferring with a DIFFERENT checkpoint file must fail loudly —
+    a boolean ``pretrained_sd`` flag cannot distinguish two checkpoints.
+
+    Hashes each weight file's (relative path, byte size, first 64 KiB) —
+    for safetensors the head covers the full key/shape/offset header, so
+    any structural change flips the digest without reading tensor bytes.
+    Returns ``{"digest", "total_bytes", "n_files", "path"}``.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    total = n = 0
+    root = os.path.abspath(checkpoint_dir)
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for name in sorted(filenames):
+            if not name.endswith((".safetensors", ".bin")):
+                continue
+            p = os.path.join(dirpath, name)
+            size = os.path.getsize(p)
+            h.update(os.path.relpath(p, root).encode())
+            h.update(str(size).encode())
+            with open(p, "rb") as f:
+                h.update(f.read(65536))
+            total += size
+            n += 1
+    return {"digest": h.hexdigest(), "total_bytes": total, "n_files": n,
+            "path": root}
+
+
 def assert_tree_matches(params: Dict, expect: Dict, what: str) -> None:
     """Assert a converted tree has exactly the structure + leaf shapes of
     the random-init tree — the 'every leaf filled' half of the strict

@@ -26,6 +26,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..config import NeRFConfig, TrainConfig
@@ -89,6 +90,81 @@ def eval_budget_for_occupancy(occ_fraction: Optional[float], n_rays: int,
     if budget is None:          # estimate reached the dense lattice
         return static
     return budget if static is None else min(budget, static)
+
+
+# HBM per chip by device_kind (public spec sheets) × 0.98 usable — the
+# fallback when memory_stats() is unavailable (None over the remote axon
+# tunnel, where the flagship config most needs the self-sized budget)
+DEVICE_HBM_BYTES = {
+    "TPU v5 lite": int(16 * 2 ** 30 * 0.98),
+    "TPU v5e": int(16 * 2 ** 30 * 0.98),
+    "TPU v5": int(95 * 2 ** 30 * 0.98),
+    "TPU v5p": int(95 * 2 ** 30 * 0.98),
+    "TPU v4": int(32 * 2 ** 30 * 0.98),
+    "TPU v6 lite": int(32 * 2 ** 30 * 0.98),
+    "TPU v6e": int(32 * 2 ** 30 * 0.98),
+}
+
+
+def device_hbm_limit(device) -> Optional[int]:
+    """Usable HBM bytes of ``device``: the allocator's own bytes_limit when
+    it reports one, else the spec-sheet fallback for known TPU kinds, else
+    None (CPU/unknown — callers leave the budget dense)."""
+    stats = device.memory_stats() or {}
+    return stats.get("bytes_limit") or DEVICE_HBM_BYTES.get(
+        getattr(device, "device_kind", ""))
+
+
+def derive_train_sample_budget(
+    n_rays: int,
+    max_steps: int,
+    state_bytes: int,
+    hbm_limit_bytes: int,
+    *,
+    bytes_per_sample: int = 2048,
+    fixed_temp_frac: float = 0.65,
+    reserve_bytes: int = 2 ** 28,
+    min_budget: int = 2 ** 16,
+) -> Optional[int]:
+    """HBM-envelope default for the TRAIN-side sample budget (VERDICT r3
+    next #3): size the NeRF march's compaction budget so the whole step
+    fits the chip, instead of requiring the operator to remember
+    ``--sample-budget 262144`` (without it, plain full-SDXL
+    ``train.py --frozen-bf16`` dies in an XLA compile OOM at 19.1 GB —
+    dense 8192×256 lattice temps on top of 9 GB of donated state,
+    ROUND3_NOTES §10 bug 2).  The reference's analogue is the
+    self-adapting mean_count pool (raymarching.py:198-203).
+
+    Model (calibrated on the v5e full-SDXL measurements,
+    scripts/bench_joint_full_sdxl.py):
+
+        step HBM ≈ state + fixed_temps + bytes_per_sample × budget
+
+    where ``state`` = params + optimizer + grid + batch (donated
+    arguments: 9.0 GB at flagship), ``fixed_temps`` = the budget-
+    independent U-Net/VAE fwd+bwd activations ≈ 0.65 × state (5.83 of
+    9.0 GB measured), and the marginal NeRF cost is ~2 KiB/sample (march
+    + 16-level hash features + MLP activations, fwd+bwd: (10.1 − 6.36)
+    GB / (2 097 152 − 262 144) samples).  Returns None (dense lattice —
+    exact, preferred) when dense fits; otherwise the largest power of two
+    that fits, floored at ``min_budget``.  At the flagship config on a
+    16 GB chip this derives exactly the measured-good 262 144.
+
+    Fog-phase caveat (renderer.render's sample_budget note): a budget
+    that binds before the occupancy grid sparsifies truncates rays
+    mid-flight; the learning demo showed full-SDXL training from scratch
+    converging fine at this derived budget (train 1.91→0.74 over 50
+    epochs), but callers should prefer dense whenever it fits — which
+    this function does.
+    """
+    dense = n_rays * max_steps
+    fixed = fixed_temp_frac * state_bytes
+    avail = hbm_limit_bytes - state_bytes - fixed - reserve_bytes
+    if avail >= dense * bytes_per_sample:
+        return None
+    max_samples = max(avail / bytes_per_sample, 1.0)
+    budget = max(min_budget, 1 << int(np.floor(np.log2(max_samples))))
+    return None if budget >= dense else budget
 
 
 def joint_trainable_mask(params: Dict) -> Dict:

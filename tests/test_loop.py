@@ -610,10 +610,19 @@ def test_train_loop_trainable_only_checkpoint(synthetic_nerf_root, tmp_path):
                             log_fn=lambda *a: None)
     assert np.isfinite(hist[0]["train_loss"])
 
-    # FORMAT.json records the frozen-reconstruction inputs
+    # FORMAT.json records the frozen-reconstruction inputs (ADVICE r3 #1/#3:
+    # + the pretrained-checkpoint identity and a frozen-partition checksum)
     fmt = json.load(open(os.path.join(workdir, "checkpoints", "FORMAT.json")))
-    assert fmt == {"version": 2, "trainable_only": True, "seed": 0,
-                   "pretrained_sd": False, "frozen_dtype": "bfloat16"}
+    assert {k: fmt[k] for k in ("version", "trainable_only", "seed",
+                                "pretrained_sd", "frozen_dtype")} == {
+        "version": 2, "trainable_only": True, "seed": 0,
+        "pretrained_sd": False, "frozen_dtype": "bfloat16"}
+    assert fmt["sdxl_fingerprint"] is None      # no pretrained checkpoint
+    assert fmt["frozen_checksum"], "frozen checksum must be recorded"
+    # zero-init subtrees (e.g. the empty-prompt conditioning cache without
+    # a pretrained overlay) legitimately sum to 0; the bulk must not
+    assert all(v >= 0 for v in fmt["frozen_checksum"].values())
+    assert sum(fmt["frozen_checksum"].values()) > 0
 
     # the stored state dict has no frozen partition (raw, template-free read)
     mgr = CheckpointManager(os.path.join(workdir, "checkpoints"))
@@ -640,6 +649,13 @@ def test_train_loop_trainable_only_checkpoint(synthetic_nerf_root, tmp_path):
     # mismatched seed → the frozen model would differ → loud refusal
     with pytest.raises(ValueError, match="trainable-only checkpoint"):
         train(cfg, ds, workdir=workdir, epochs=3, resume=True, seed=1,
+              log_fn=lambda *a: None)
+
+    # ADVICE r3 #2: the same refusal WITHOUT --resume — a fresh run with
+    # different reconstruction inputs must not write new v2 steps under
+    # the stale sidecar (previously it silently did)
+    with pytest.raises(ValueError, match="trainable-only checkpoint"):
+        train(cfg, ds, workdir=workdir, epochs=1, seed=1,
               log_fn=lambda *a: None)
 
     # a directory holding FULL checkpoints keeps its format even if the

