@@ -70,6 +70,13 @@ def synthesize(ckpt_dir: str) -> dict:
 
 
 def main():
+    # force the host platform robustly: the axon TPU plugin ignores the
+    # JAX_PLATFORMS env var (tests/conftest.py learned the same lesson),
+    # and this drill must not push 10 GB of f32 tensors at a 16 GB chip
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     out_dir = os.environ.get("DRILL_DIR") or tempfile.mkdtemp(
         prefix="sdxl_drill_")
     result = {"checkpoint_dir": out_dir}

@@ -163,8 +163,16 @@ def make_inference_step(
         # metric that can demonstrate joint-loop learning even when the
         # SDXL weights are random (zero-egress env; the denoised-image
         # PSNR is gated on real pretrained weights).
+        #
+        # Both operands live in the NORMALIZED latent space the training
+        # loss supervises (joint.forward_iteration to_gt: (lt+1)/2).
+        # Until round 4 this compared the normalized render against the
+        # RAW scaled latent — two different spaces, which caps the metric
+        # near (1+Var[lt])/4 MSE (~3-6 dB) for even a PERFECT render and
+        # was most of why the r3 learning demo read "flat at 5.9 dB"
+        # (ROUND4_NOTES ceiling study).
         target_lt = encode_images_mode(params["sd"], target_image, cfg.sd)
-        latent_psnr = psnr(pred_target_lt, target_lt)
+        latent_psnr = psnr(pred_target_lt, (target_lt + 1.0) / 2.0)
 
         result = {
             "denoised_image": pred,
