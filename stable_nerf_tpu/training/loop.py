@@ -315,6 +315,17 @@ def _train_impl(
                        f"in_use={s['bytes_in_use']/2**30:.2f} GB "
                        f"peak={(s.get('peak_bytes_in_use') or 0)/2**30:.2f} GB"
                        f" limit={(s.get('bytes_limit') or 0)/2**30:.2f} GB")
+        # memory_stats() is None on some backends (the axon tunnel) —
+        # jax.live_arrays() works everywhere: every live device buffer the
+        # client still references, the tool that localized the round-4
+        # resume-path OOM
+        arrs = [a for a in jax.live_arrays() if not a.is_deleted()]
+        total = sum(a.nbytes for a in arrs)
+        log_fn(f"hbm[{stage}] live_arrays: {len(arrs)} arrays "
+               f"{total/2**30:.2f} GB")
+        for a in sorted(arrs, key=lambda a: -a.nbytes)[:6]:
+            log_fn(f"  {str(a.shape):>20} {str(a.dtype):>9} "
+                   f"{a.nbytes/2**20:8.1f} MB")
 
     scheduler = DDIMScheduler.create(cfg.sd.scheduler)
     had_pretrained = pretrained_sd is not None
@@ -457,27 +468,67 @@ def _train_impl(
                    f"(epoch {start_epoch}, sharded restore over "
                    f"{int(mesh.devices.size)} devices)")
         else:
-            tmpl = {"opt_state": opt_state, "grid_state": grid_state,
+            # Restore to HOST buffers: StandardRestore follows the
+            # template's placement, so a live device-array template makes
+            # orbax materialize the whole restored tree ON DEVICE next to
+            # the still-live initial state.  At full SDXL that is +4.5 GB
+            # of alloc/free churn on a config whose steady state runs at
+            # 15.4/15.7 GB — observed live (round 4) to OOM the resumed
+            # run's first steps where the fresh run trains fine.  A numpy
+            # template keeps the restore entirely host-side; the merged
+            # state is committed to device exactly once below.
+            as_host = lambda x: (np.zeros(x.shape, x.dtype)
+                                 if hasattr(x, "shape") else x)
+            tmpl = {"opt_state": jax.tree.map(as_host, opt_state),
+                    "grid_state": jax.tree.map(as_host, grid_state),
                     "extra": {"epoch": 0}}
             if t_only:
-                tmpl["trainable"], _ = partition(params, mask)
+                tmpl["trainable"] = jax.tree.map(
+                    as_host, partition(params, mask)[0])
             else:
-                tmpl["params"] = params
+                tmpl["params"] = jax.tree.map(as_host, params)
             state = ckpt.restore(template=tmpl)
-            # to-host: restored leaves must be uncommitted so the replicate
-            # below (or the single-device jit) decides where they live
-            state = jax.tree.map(np.asarray, state)
+
+            def free_superseded(trees, keep=()):
+                """Explicitly release device buffers the restored state
+                replaces.  Rebinding alone is NOT enough: live-array
+                accounting (jax.live_arrays) showed the full init
+                trainable+opt tree surviving restore behind a gc-opaque
+                holder, which put the resumed full-SDXL process ~4.5 GB
+                above the fresh one and OOMed its first steps live
+                (round 4).  delete() frees the HBM regardless of hidden
+                references, and any later use of a stale buffer raises
+                loudly instead of leaking.  ``keep`` protects leaves the
+                superseded tree aliases (ip heads share the U-Net's
+                to_k/to_v buffers at init — the dealias() concern)."""
+                kept = {id(l) for l in jax.tree.leaves(keep)}
+                for leaf in jax.tree.leaves(trees):
+                    if (isinstance(leaf, jax.Array) and id(leaf) not in kept
+                            and not leaf.is_deleted()):
+                        leaf.delete()
+
             if t_only:
-                _, frozen = partition(params, mask)
+                t_init, frozen = partition(params, mask)
+                free_superseded((t_init, opt_state), keep=frozen)
                 params = combine(state["trainable"], frozen)
             else:
+                free_superseded((params, opt_state))
                 params = state["params"]
             opt_state = state["opt_state"]
             grid_state = state["grid_state"]
             start_epoch = int(state["extra"].get("epoch", 0))
+            # one explicit upload: commit the restored host leaves so the
+            # first donated step aliases buffers in place, giving the
+            # resumed run the fresh run's exact memory layout.  On a mesh
+            # the replicate() below does the placement instead (it expects
+            # uncommitted host leaves).
+            if mesh is None:
+                params, opt_state, grid_state = jax.device_put(
+                    (params, opt_state, grid_state))
             log_fn(f"resumed from checkpoint step {ckpt.latest_step()} "
                    f"(epoch {start_epoch}"
                    + (", trainable-only format)" if t_only else ")"))
+        log_hbm("restore")
 
     step_cache = {}
 

@@ -90,10 +90,16 @@ def test_train_loop_end_to_end(synthetic_nerf_root, tmp_path):
     assert int(grid_state.iter_density) == 2
 
 
-def test_train_loop_resume(synthetic_nerf_root, tmp_path):
+def test_train_loop_resume(synthetic_nerf_root, tmp_path, monkeypatch):
     """Interrupt-and-resume (the capability the reference lacks,
     train.py:303-308): train 2 epochs, resume to 4 — the second call must
-    restore params/opt/grid/epoch and run exactly epochs 2..3."""
+    restore params/opt/grid/epoch and run exactly epochs 2..3.
+
+    Also locks the host-restore contract: the template handed to orbax must
+    hold NO jax.Array leaves — StandardRestore follows template placement,
+    and a device template materializes the restored tree on device next to
+    the live initial state (+4.5 GB at full SDXL), which OOMed the round-4
+    live resume demo where the fresh run trained fine."""
     from stable_nerf_tpu.config import (
         HashGridConfig, NeRFConfig, SDConfig, TrainConfig,
     )
@@ -127,10 +133,32 @@ def test_train_loop_resume(synthetic_nerf_root, tmp_path):
                             log_fn=lambda *a: None)
     assert int(grid1.iter_density) == 2
 
+    import jax
+
+    from stable_nerf_tpu.training.checkpoints import CheckpointManager
+
+    seen_templates = []
+    orig_restore = CheckpointManager.restore
+
+    def spy_restore(self, step=None, template=None):
+        seen_templates.append(template)
+        return orig_restore(self, step=step, template=template)
+
+    monkeypatch.setattr(CheckpointManager, "restore", spy_restore)
+
     logs = []
     params, grid2, hist2 = train(cfg, ds, workdir=workdir, epochs=4,
                                  resume=True, log_fn=logs.append)
     assert any("resumed from checkpoint" in str(m) for m in logs)
+    assert seen_templates and seen_templates[0] is not None
+    device_leaves = [
+        l for l in jax.tree.leaves(seen_templates[0])
+        if isinstance(l, jax.Array)
+    ]
+    assert not device_leaves, (
+        "restore template must be host-side (numpy) — device leaves make "
+        "orbax materialize the restored tree on device next to the live "
+        "initial state")
     # only the remaining epochs ran, numbered continuously
     assert [r["epoch"] for r in hist2] == [2, 3]
     for rec in hist2:

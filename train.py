@@ -167,6 +167,14 @@ def enable_compile_cache(directory=None):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # line-buffer stdout even when redirected to a file: long compiles and
+    # slow tunnel transfers otherwise sit on a block buffer for many
+    # minutes, making a nohup'd run look hung and losing the tail on kill
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except (AttributeError, ValueError):
+        pass
+
     cache_dir = enable_compile_cache(args.compile_cache)
     if cache_dir:
         print(f"compile cache: {cache_dir}")
