@@ -404,6 +404,24 @@ def _train_impl(
 
     start_epoch = 0
     placed = False
+
+    def free_superseded(trees, keep=()):
+        """Explicitly release device buffers the restored state replaces.
+        Rebinding alone is NOT enough: live-array accounting
+        (jax.live_arrays) showed the full init trainable+opt tree
+        surviving restore behind a gc-opaque holder, which put the
+        resumed full-SDXL process ~4.5 GB above the fresh one and OOMed
+        its first steps live (round 4).  delete() frees the HBM
+        regardless of hidden references, and any later use of a stale
+        buffer raises loudly instead of leaking.  ``keep`` protects
+        leaves the superseded tree aliases (ip heads share the U-Net's
+        to_k/to_v buffers at init — the dealias() concern)."""
+        kept = {id(l) for l in jax.tree.leaves(keep)}
+        for leaf in jax.tree.leaves(trees):
+            if (isinstance(leaf, jax.Array) and id(leaf) not in kept
+                    and not leaf.is_deleted()):
+                leaf.delete()
+
     if resume:
         if ckpt.latest_step() is None:
             log_fn(f"WARNING: resume requested but no checkpoint found "
@@ -457,8 +475,12 @@ def _train_impl(
                 # inputs validated against FORMAT.json) and placed into the
                 # production shardings; trainables come from the checkpoint
                 _, frozen_placed = partition(place_for_gspmd(params), mask)
+                # the pre-placement init tree and its eager opt state are
+                # superseded by (restored trainables + placed frozen)
+                free_superseded((params, opt_state), keep=frozen_placed)
                 params = combine(state["trainable"], frozen_placed)
             else:
+                free_superseded((params, opt_state))
                 params = state["params"]
             opt_state = state["opt_state"]
             grid_state = state["grid_state"]
@@ -488,25 +510,6 @@ def _train_impl(
             else:
                 tmpl["params"] = jax.tree.map(as_host, params)
             state = ckpt.restore(template=tmpl)
-
-            def free_superseded(trees, keep=()):
-                """Explicitly release device buffers the restored state
-                replaces.  Rebinding alone is NOT enough: live-array
-                accounting (jax.live_arrays) showed the full init
-                trainable+opt tree surviving restore behind a gc-opaque
-                holder, which put the resumed full-SDXL process ~4.5 GB
-                above the fresh one and OOMed its first steps live
-                (round 4).  delete() frees the HBM regardless of hidden
-                references, and any later use of a stale buffer raises
-                loudly instead of leaking.  ``keep`` protects leaves the
-                superseded tree aliases (ip heads share the U-Net's
-                to_k/to_v buffers at init — the dealias() concern)."""
-                kept = {id(l) for l in jax.tree.leaves(keep)}
-                for leaf in jax.tree.leaves(trees):
-                    if (isinstance(leaf, jax.Array) and id(leaf) not in kept
-                            and not leaf.is_deleted()):
-                        leaf.delete()
-
             if t_only:
                 t_init, frozen = partition(params, mask)
                 free_superseded((t_init, opt_state), keep=frozen)
