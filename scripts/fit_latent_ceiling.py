@@ -138,11 +138,29 @@ def main():
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    @jax.jit
-    def eval_view(params, state, o, d):
-        return render(params, state, o[None], d[None], cfg, bg_color=1.0,
-                      max_steps=512,
-                      sample_budget=args.sample_budget)["image"][0]
+    # Three eval variants (round 4): the first ceiling run read a uniform
+    # 13.6 dB over views at (max_steps 512, budget 2^18) despite train L1
+    # 0.007 — a systematic train/eval render mismatch (the budget covers
+    # 64 samples/ray; at 512 steps compaction drops a different half of
+    # the lattice than the 256-step train render the params adapted to),
+    # not a statement about latent capacity.  Separate the effects:
+    #   train-matched: 256 steps, train budget (what the fit achieves)
+    #   metric-style:  512 steps, same budget (the demo metric's shape)
+    #   exact:         512 steps, dense lattice (no compaction at all)
+    def make_eval(max_steps, budget):
+        @jax.jit
+        def eval_view(params, state, o, d):
+            return render(params, state, o[None], d[None], cfg,
+                          bg_color=1.0, max_steps=max_steps,
+                          sample_budget=budget)["image"][0]
+        return eval_view
+
+    evals = {
+        "train_matched_256": make_eval(256, args.sample_budget),
+        "metric_style_512": make_eval(512, args.sample_budget),
+        "exact_dense_512": make_eval(512, None),
+    }
+    eval_view = evals["train_matched_256"]
 
     def density_fn(p):
         return lambda x: nerf_density(p, x, cfg)["sigma"]
@@ -150,10 +168,20 @@ def main():
     update = jax.jit(
         lambda s, p, k: update_extra_state(s, density_fn(p), k, cfg))
 
-    def view_psnr(i):
-        pred = eval_view(params, state, rays_o[i], rays_d[i])
+    def view_psnr(i, fn=None):
+        pred = (fn or eval_view)(params, state, rays_o[i], rays_d[i])
         a = pred.reshape(1, enc, enc, 4).transpose(0, 3, 1, 2)
         b = target[i:i + 1]
+        return float(psnr(a, b)[0, 0])
+
+    def mean_baseline_psnr(i):
+        """The floor any 3D-consistent renderer can trivially reach: a
+        constant at the global latent mean.  Per-view random-VAE texture
+        is ~iid across views, which a consistent radiance field cannot
+        fit — so the achievable ceiling sits near this number, and the
+        joint demo's latent_psnr should be read against it."""
+        b = target[i:i + 1]
+        a = jnp.full_like(b, target.mean())
         return float(psnr(a, b)[0, 0])
 
     t0 = time.time()
@@ -168,18 +196,25 @@ def main():
                   f"latent_psnr {view_psnr(0):.2f} "
                   f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
 
-    ps = [view_psnr(i) for i in range(min(args.views, n))]
+    nv = min(args.views, n)
+    out = {}
+    for name, fn in evals.items():
+        ps = [view_psnr(i, fn) for i in range(nv)]
+        out[name] = {"mean": round(float(np.mean(ps)), 2),
+                     "per_view": [round(p, 2) for p in ps]}
+    base = [mean_baseline_psnr(i) for i in range(nv)]
     final_loss = float(loss)
     print(json.dumps({
-        "ceiling_latent_psnr_mean": round(float(np.mean(ps)), 2),
-        "ceiling_latent_psnr_per_view": [round(p, 2) for p in ps],
+        "ceiling_latent_psnr": out,
+        "constant_mean_baseline_psnr": round(float(np.mean(base)), 2),
         "final_l1": round(final_loss, 5),
         "steps": args.steps,
         "target_stats": {k: round(v, 4) for k, v in t_stats.items()},
         "wall_s": round(time.time() - t0, 0),
         "note": ("NeRF-only overfit vs the demo-exact deterministic "
                  "random-VAE latents, normalized space — the attainable "
-                 "ceiling for the joint demo's latent_psnr"),
+                 "ceiling for the joint demo's latent_psnr, with the "
+                 "constant-mean floor as the denominator's denominator"),
     }))
 
 
