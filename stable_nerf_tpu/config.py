@@ -250,6 +250,14 @@ class TrainConfig:
     # 16 GB v5e (scripts/bench_joint_full_sdxl.py).  None = f32 storage.
     # Must match across --resume (checkpoints carry the storage dtype).
     frozen_dtype: Optional[str] = None
+    # which parameters the optimizer trains (joint.joint_trainable_mask):
+    # "reference" = the reference's subset (ip heads + NeRF,
+    # train.py:179-182); "sd" = additionally the whole U-Net — the
+    # learned-diffusion demo mode (VERDICT r4 next #1), where a tiny
+    # U-Net is trained from scratch through sd_loss so DDIM sampling
+    # operates on learned weights.  VAE + prompt caches stay frozen
+    # in every scope.
+    trainable_scope: str = "reference"
     # static NeRF sample budget per train step (None = dense lattice eval);
     # the TPU analogue of the reference's mean_count compaction.  A fixed
     # budget that BINDS while occupancy is still dense truncates rays

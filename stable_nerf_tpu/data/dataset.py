@@ -48,7 +48,15 @@ class StableNeRFDataset:
         percent_objects: float = 0.1,
         root: str = "datasets",
         seed: int = 0,
+        scale_intrinsics: bool = False,
     ):
+        """``scale_intrinsics`` (beyond the reference): rescale the capture's
+        true pixel focal to the encoded (ray) resolution instead of the
+        parity quirk's hardcoded 138 (dataset.py:40-48).  At the
+        reference's encoded 64 the quirk is a mild FOV mismatch; at a
+        16×16 latent it collapses the ray bundle to a ~7° crop against a
+        ~50° ground-truth image, so the learned-diffusion demo opts into
+        the geometric focal."""
         if isinstance(shape, int):
             shape = (shape, shape)
         if isinstance(encoded_shape, int):
@@ -56,7 +64,7 @@ class StableNeRFDataset:
         self.H, self.W = shape
         self.encoded_H, self.encoded_W = encoded_shape
 
-        images, poses, _intrinsic = load_data(
+        images, poses, norm_intrinsic = load_data(
             dataset=dataset_name, shape=shape, mean=mean, std=std,
             fix_choices=fix_choices, percent_objects=percent_objects, root=root,
         )
@@ -69,10 +77,19 @@ class StableNeRFDataset:
             perm = rng.permutation(images.shape[0])
             self.reference_images, self.target_images = images, images[perm]
             self.reference_poses, self.target_poses = poses, poses[perm]
-            self.intrinsic = np.array(
-                [138.0, 138.0, self.encoded_W // 2, self.encoded_H // 2],
-                np.float32,
-            )
+            if scale_intrinsics:
+                # the capture's true pixel focal at the ray resolution
+                self.intrinsic = np.array(
+                    [norm_intrinsic[0, 0] * self.encoded_W,
+                     norm_intrinsic[1, 1] * self.encoded_H,
+                     self.encoded_W // 2, self.encoded_H // 2],
+                    np.float32,
+                )
+            else:
+                self.intrinsic = np.array(
+                    [138.0, 138.0, self.encoded_W // 2, self.encoded_H // 2],
+                    np.float32,
+                )
         else:
             # objaverse [O, 2, ...]: view 0 = reference, view 1 = target
             self.reference_images = images[:, 0]

@@ -111,10 +111,21 @@ def load_nerf_data(
             f"{path}: expected scene marker {expect_scene!r}, found "
             f"{marker!r} — regenerate with scripts/make_synthetic_scene.py."
         )
+    native_h, native_w = data["images"].shape[1:3]
     images = preprocess_images(data["images"], shape, mean, std)
     poses = data["poses"][:, :-1, :]           # drop the redundant last row
     poses = np.stack([nerf_matrix_to_ngp(p) for p in poses])
-    intrinsic = construct_normalized_camera_intrinsics(shape, float(data["focal"]))
+    # tiny-NeRF's ``focal`` is a PIXEL focal at the capture resolution
+    # (138.9 at 100², or the generator's value for the synthetic scene) —
+    # normalize by the native size, not the blender-mm formula (which
+    # reads 138 as millimetres).  StableNeRFDataset's parity branch
+    # ignores this and hardcodes [138, 138, W/2, H/2] (reference
+    # dataset.py:48); scale_intrinsics=True consumes it.
+    focal = float(data["focal"])
+    intrinsic = np.array(
+        [[focal / native_w, 0.0, 0.5],
+         [0.0, focal / native_h, 0.5],
+         [0.0, 0.0, 1.0]], dtype=np.float32)
     return images, poses, intrinsic
 
 

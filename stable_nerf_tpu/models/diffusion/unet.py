@@ -94,6 +94,31 @@ def tiny_unet_config() -> UNetConfig:
     )
 
 
+def demo_unet_config(num_tokens: int = 16) -> UNetConfig:
+    """The learned-diffusion demo U-Net (VERDICT r4 next #1): a from-scratch
+    trainable reduction with enough conditioning bandwidth to reconstruct a
+    16×16×4 latent through cross-attention.
+
+    Versus ``tiny_unet_config`` (built for structural parity tests):
+    cross-attention at BOTH resolutions (transformer_layers (1, 2) — the
+    conditioning must reach the 16×16 level, not only the 8×8 mid),
+    wider channels, and ``num_tokens`` ip tokens per view at dim 64, so
+    the 2·num_tokens·64 conditioning floats cover the 1024-value target
+    latent the DDIM sampler must reproduce (reference inference workload:
+    train.py:388-432 at SDXL scale)."""
+    return UNetConfig(
+        block_out_channels=(64, 128),
+        transformer_layers=(1, 2),
+        head_dim=8,
+        cross_attention_dim=64,
+        norm_groups=16,
+        addition_time_embed_dim=16,
+        projection_class_embeddings_input_dim=32 + 6 * 16,
+        pooled_projection_dim=32,
+        ip_num_tokens=num_tokens,
+    )
+
+
 # ---------------------------------------------------------------------------
 # init
 # ---------------------------------------------------------------------------

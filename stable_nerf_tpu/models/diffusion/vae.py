@@ -168,6 +168,53 @@ def vae_init(key, cfg: VAEConfig = VAEConfig()) -> Dict:
     }
 
 
+def vae_save_npz(path: str, params: Dict, cfg: VAEConfig,
+                 meta: Dict = None) -> None:
+    """Persist a (trained) VAE param tree + its config to one ``.npz``.
+
+    Keys are ``jax.tree_util.keystr`` paths; the config and any ``meta``
+    dict (e.g. the pretraining script's recon PSNR / measured latent std)
+    travel as a JSON sidecar entry.  Loader: :func:`vae_load_npz`.  Used
+    by the learned-diffusion demo to hand the scene-pretrained tiny VAE
+    to the joint loop (train.py --vae-checkpoint)."""
+    import dataclasses
+    import json
+
+    import numpy as np
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {jax.tree_util.keystr(kp): np.asarray(leaf) for kp, leaf in flat}
+    header = {"config": dataclasses.asdict(cfg), "meta": meta or {}}
+    arrays["__vae_meta__"] = np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def vae_load_npz(path: str):
+    """Load a :func:`vae_save_npz` artifact → (params, VAEConfig, meta)."""
+    import json
+
+    import numpy as np
+
+    data = np.load(path)
+    header = json.loads(bytes(data["__vae_meta__"].tobytes()).decode())
+    cfg_dict = dict(header["config"])
+    cfg_dict["block_out_channels"] = tuple(cfg_dict["block_out_channels"])
+    cfg = VAEConfig(**cfg_dict)
+    template = vae_init(jax.random.PRNGKey(0), cfg)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for kp, tmpl_leaf in flat:
+        arr = data[jax.tree_util.keystr(kp)]
+        if arr.shape != tmpl_leaf.shape:
+            raise ValueError(
+                f"{path}: leaf {jax.tree_util.keystr(kp)} has shape "
+                f"{arr.shape}, config expects {tmpl_leaf.shape}")
+        leaves.append(jnp.asarray(arr))
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    return params, cfg, header["meta"]
+
+
 def vae_encode_moments(params: Dict, x, cfg: VAEConfig = VAEConfig()):
     """images [N, 3, H, W] in [-1, 1] → (mean, logvar) each [N, 4, H/8, W/8]."""
     g = cfg.norm_groups

@@ -146,7 +146,7 @@ class CheckpointManager:
     # float, tolerance-compared at restore) and excluded from equality.
     RECONSTRUCTION_KEYS = ("version", "trainable_only", "seed",
                            "pretrained_sd", "frozen_dtype",
-                           "sdxl_fingerprint")
+                           "trainable_scope", "sdxl_fingerprint")
 
     def write_format(self, fmt: Dict):
         """Persist the checkpoint-format sidecar (single writer: call from

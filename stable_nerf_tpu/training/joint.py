@@ -167,11 +167,37 @@ def derive_train_sample_budget(
     return None if budget >= dense else budget
 
 
-def joint_trainable_mask(params: Dict) -> Dict:
-    """Mask over {'sd': …, 'nerf': …}: the reference's optimizer set
-    (train.py:179-182) = sd ip-head + whole NeRF."""
+def joint_trainable_mask(params: Dict, scope: str = "reference") -> Dict:
+    """Mask over {'sd': …, 'nerf': …}.
+
+    ``scope`` selects the optimized subset:
+      * ``"reference"`` (default): the reference's optimizer set
+        (train.py:179-182) = sd ip-head (image_proj + downsampling +
+        to_k_ip/to_v_ip) + whole NeRF — everything else is frozen
+        pretrained weight;
+      * ``"sd"``: additionally train the whole U-Net (base weights
+        included).  The VAE and the cached prompt conditioning
+        (add_text_embeds/add_time_ids — buffers, not weights) stay
+        frozen.  This is the learned-diffusion demo mode: with no real
+        pretrained SDXL available (zero-egress), a tiny U-Net trained
+        from scratch through the joint sd_loss is the only way the
+        conditioning → DDIM sampling → decode path can ever operate in a
+        learned regime (VERDICT r4 next #1).
+    """
+    if scope == "reference":
+        sd_mask = sd_trainable_mask(params["sd"])
+    elif scope == "sd":
+        sd_mask = {
+            k: jax.tree.map(
+                lambda _: k not in ("vae", "add_text_embeds", "add_time_ids"),
+                v)
+            for k, v in params["sd"].items()
+        }
+    else:
+        raise ValueError(
+            f"unknown trainable scope {scope!r} (reference | sd)")
     return {
-        "sd": sd_trainable_mask(params["sd"]),
+        "sd": sd_mask,
         "nerf": jax.tree.map(lambda _: True, params["nerf"]),
     }
 

@@ -140,6 +140,23 @@ def build_parser():
     p.add_argument("--tiny", action="store_true",
                    help="tiny model configs (smoke tests / CI; pairs with "
                         "--image-size 32 --latent-size 16)")
+    p.add_argument("--demo", action="store_true",
+                   help="learned-diffusion demo preset: demo-scale U-Net "
+                        "(trainable from scratch, --trainable-scope sd), "
+                        "scene-pretrained tiny VAE (--vae-checkpoint), "
+                        "geometric ray intrinsics, image 64 / latent 16 "
+                        "defaults — the offline stand-in for the blocked "
+                        "real-SDXL flagship (VERDICT r4 next #1)")
+    p.add_argument("--trainable-scope", default=None,
+                   choices=("reference", "sd"),
+                   help="optimizer coverage: 'reference' = ip heads + NeRF "
+                        "(reference train.py:179-182, the default); 'sd' = "
+                        "additionally the whole U-Net (the demo's "
+                        "from-scratch diffusion).  --demo defaults to 'sd'")
+    p.add_argument("--vae-checkpoint", default=None,
+                   help="path to a pretrain_tiny_vae.py artifact (.npz): "
+                        "overlays the trained VAE params and adopts its "
+                        "config (incl. measured latent scaling factor)")
     return p
 
 
@@ -210,7 +227,61 @@ def main(argv=None):
     from stable_nerf_tpu.models.diffusion.sd_network import SDNetworkConfig
     from stable_nerf_tpu.training.joint import JointConfig
 
-    if args.tiny:
+    vae_overlay = None
+    if args.tiny and args.demo:
+        sys.exit("--tiny and --demo are distinct presets — pick one")
+    if args.vae_checkpoint and not args.demo:
+        sys.exit("--vae-checkpoint is the demo VAE overlay — pair it with "
+                 "--demo (whose VAEConfig is adopted from the artifact)")
+    if args.demo:
+        from stable_nerf_tpu.models.diffusion.unet import demo_unet_config
+        from stable_nerf_tpu.models.diffusion.vae import (
+            VAEConfig, vae_load_npz,
+        )
+
+        # demo-scale defaults unless explicitly overridden
+        if args.image_size == 512:
+            args.image_size = 64
+        if args.latent_size == 64:
+            args.latent_size = 16
+        if args.trainable_scope is None:
+            args.trainable_scope = "sd"
+        num_tokens = 16
+        if args.vae_checkpoint:
+            vae_overlay, vae_cfg, vae_meta = vae_load_npz(args.vae_checkpoint)
+            if vae_meta.get("latent_size") not in (None, args.latent_size):
+                sys.exit(f"--vae-checkpoint was trained at latent "
+                         f"{vae_meta['latent_size']}, run wants "
+                         f"{args.latent_size}")
+            if vae_meta.get("image_size") not in (None, args.image_size):
+                sys.exit(f"--vae-checkpoint was trained at image "
+                         f"{vae_meta['image_size']}, run wants "
+                         f"{args.image_size}")
+            print(f"VAE checkpoint: recon "
+                  f"{vae_meta.get('recon_psnr_test', float('nan')):.2f} dB "
+                  f"test, scaling {vae_cfg.scaling_factor:.3f}")
+        else:
+            # VAE depth from the image/latent ratio (factor 2^(blocks-1)),
+            # mirroring scripts/pretrain_tiny_vae.py
+            factor = args.image_size // args.latent_size
+            if factor * args.latent_size != args.image_size or \
+                    2 ** (factor.bit_length() - 1) != factor:
+                sys.exit("--demo needs image-size = latent-size x 2^k")
+            vae_cfg = VAEConfig(
+                block_out_channels=tuple(
+                    32 * 2 ** i for i in range(factor.bit_length())),
+                layers_per_block=1, norm_groups=8)
+        nerf_cfg = NeRFConfig(channel_dim=4,
+                              density_activation="trunc_exp")
+        sd_cfg = SDNetworkConfig(
+            sd=SDConfig(latent_size=args.latent_size,
+                        image_size=args.image_size,
+                        cross_attention_dim=64,
+                        num_tokens=num_tokens,
+                        use_downsampling_layers=False),
+            unet=demo_unet_config(num_tokens),
+            vae=vae_cfg)
+    elif args.tiny:
         from stable_nerf_tpu.config import HashGridConfig
         from stable_nerf_tpu.models.diffusion.unet import tiny_unet_config
         from stable_nerf_tpu.models.diffusion.vae import VAEConfig
@@ -271,6 +342,7 @@ def main(argv=None):
             sample_budget_auto=args.sample_budget == "auto",
             stochastic_until_epoch=args.stochastic_until_epoch,
             frozen_dtype="bfloat16" if args.frozen_bf16 else None,
+            trainable_scope=args.trainable_scope or "reference",
             checkpoint_every=args.checkpoint_every,
             checkpoint_trainable_only=args.checkpoint_trainable_only,
         ),
@@ -285,6 +357,7 @@ def main(argv=None):
         percent_objects=args.percent_objects,
         root=args.data_root,
         seed=args.seed,
+        scale_intrinsics=args.demo,
     )
     print(f"dataset: {len(dataset)} paired samples")
 
@@ -305,6 +378,10 @@ def main(argv=None):
         print(f"loading SDXL weights from {args.sdxl_checkpoint} "
               f"(digest {fingerprint['digest'][:12]}…)")
         pretrained = load_sdxl(args.sdxl_checkpoint)
+    if vae_overlay is not None:
+        # the scene-pretrained tiny VAE replaces the random frozen VAE via
+        # the same overlay path real SDXL weights use
+        pretrained = {**(pretrained or {}), "vae": vae_overlay}
 
     if args.inference:
         run_inference(cfg, dataset, workdir,
@@ -377,7 +454,9 @@ def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1,
 
         rebuild_cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(
-                cfg.train, frozen_dtype=fmt.get("frozen_dtype")))
+                cfg.train, frozen_dtype=fmt.get("frozen_dtype"),
+                trainable_scope=fmt.get("trainable_scope",
+                                        cfg.train.trainable_scope)))
         k_sd, k_nerf, _ = jax.random.split(
             jax.random.PRNGKey(int(fmt.get("seed", 0))), 3)
         params_t = build_initial_params(rebuild_cfg, k_sd, k_nerf,
@@ -391,13 +470,18 @@ def run_inference(cfg, dataset, workdir, tp: int = 1, sp: int = 1,
 
         verify_frozen_checksum(
             fmt.get("frozen_checksum"),
-            frozen_partition_checksum(params_t, _jtm(params_t)))
+            frozen_partition_checksum(params_t, _jtm(
+                params_t, fmt.get("trainable_scope", "reference"))))
     else:
         k = jax.random.PRNGKey(0)
         k_sd, k_nerf = jax.random.split(k)
         params_t = {"sd": sd_network_init(k_sd, cfg.sd),
                     "nerf": nerf_init(k_nerf, cfg.nerf)}
-    mask_t = joint_trainable_mask(params_t)
+    # a v2 sidecar records the training run's scope; v1 full-state dirs
+    # rely on the caller passing the matching --trainable-scope (the
+    # optimizer-state template below must cover the same partition)
+    mask_t = joint_trainable_mask(
+        params_t, fmt.get("trainable_scope", cfg.train.trainable_scope))
     trainable_t, frozen_t = partition(params_t, mask_t)
     opt_state_t = make_optimizer(cfg.train).init(trainable_t)
     template = {
