@@ -28,7 +28,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build(remat: bool, stochastic: bool = False, batch: int = 1):
+def build(remat: bool, stochastic: bool = False, batch: int = 1,
+          stochastic_min_level: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +53,13 @@ def build(remat: bool, stochastic: bool = False, batch: int = 1):
         # --stochastic = the warmup phase of the measured warmup schedule
         # (unbiased one-corner hash encode, loop.py step_for_budget warm
         # mode) on the FULL-SDXL joint workload
-        nerf=NeRFConfig(channel_dim=4, hash_stochastic=stochastic),
+        # --stochastic-min-level > 0 selects the HYBRID encode: exact
+        # 8-corner interpolation on levels < min_level (coarse dense
+        # levels, cache-cheap) + one-corner sampling above (VERDICT r4
+        # weak #1 — the speed/accuracy frontier between the measured
+        # exact and stochastic endpoints)
+        nerf=NeRFConfig(channel_dim=4, hash_stochastic=stochastic,
+                        hash_stochastic_min_level=stochastic_min_level),
         sd=sd_cfg,
         train=TrainConfig(batch_size=batch, max_steps_train=256,
                           # scale the NeRF budget with the rays (VERDICT r3
@@ -123,6 +130,9 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--stochastic", action="store_true",
                     help="one-corner hash encode (warmup-schedule mode)")
+    ap.add_argument("--stochastic-min-level", type=int, default=0,
+                    help="with --stochastic: hybrid mode — keep levels "
+                         "below this exact (0 = fully stochastic)")
     ap.add_argument("--batch", type=int, default=1,
                     help="samples per step (2 views each); batch >= 2 "
                          "needs --remat on a 16 GB chip")
@@ -141,7 +151,8 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     t0 = time.time()
     params, opt_state, grid_state, batch, step, key, sizes = build(
-        args.remat, args.stochastic, args.batch)
+        args.remat, args.stochastic, args.batch,
+        args.stochastic_min_level)
     print(f"built + init in {time.time()-t0:.0f}s  {sizes}", file=sys.stderr)
 
     t0 = time.time()
@@ -209,6 +220,7 @@ def main():
         "device_kind": kind,
         "remat": args.remat,
         "stochastic": args.stochastic,
+        "stochastic_min_level": args.stochastic_min_level,
         "dtype_policy": "frozen bf16 / trainable+moments f32",
         # measured residency: allocator peak where the backend reports it;
         # live-array accounting on the axon tunnel (state only — step

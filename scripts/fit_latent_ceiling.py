@@ -51,6 +51,13 @@ def main():
                     help="views for the final PSNR report")
     ap.add_argument("--loss", default="l1", choices=["l1", "mse"],
                     help="l1 = the joint loop's nerf_loss (train.py:70)")
+    ap.add_argument("--vae-checkpoint", default=None,
+                    help="pretrain_tiny_vae.py artifact: measure the "
+                         "ceiling against the TRAINED demo VAE's latents "
+                         "(view-consistent structure) instead of the "
+                         "random seed-0 VAE — VERDICT r4 next #2.  Uses "
+                         "the artifact's image/latent sizes and the "
+                         "demo's geometric intrinsics")
     args = ap.parse_args()
 
     import jax
@@ -77,15 +84,33 @@ def main():
     k_sd, _, _ = jax.random.split(jax.random.PRNGKey(args.seed), 3)
     k_vae = jax.random.split(k_sd, 4)[0]
     sd_cfg = SDNetworkConfig()
-    vae_params = jax.jit(
-        lambda k: jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x,
-            vae_init(k, sd_cfg.vae)))(k_vae)
+    import dataclasses
+
+    from stable_nerf_tpu.config import SDConfig
+
+    scale_intrinsics = False
+    if args.vae_checkpoint:
+        # the trained demo VAE: f32 storage (it is tiny), demo sizes,
+        # geometric intrinsics — the ceiling for the demo's latent_psnr
+        from stable_nerf_tpu.models.diffusion.vae import vae_load_npz
+
+        vae_params, vae_cfg, vae_meta = vae_load_npz(args.vae_checkpoint)
+        sd_cfg = dataclasses.replace(
+            sd_cfg, vae=vae_cfg,
+            sd=SDConfig(latent_size=vae_meta.get("latent_size", 16),
+                        image_size=vae_meta.get("image_size", 64)))
+        scale_intrinsics = True
+    else:
+        vae_params = jax.jit(
+            lambda k: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                vae_init(k, sd_cfg.vae)))(k_vae)
 
     enc = sd_cfg.sd.latent_size
     ds = StableNeRFDataset("synthetic", shape=sd_cfg.sd.image_size,
-                           encoded_shape=enc)
+                           encoded_shape=enc,
+                           scale_intrinsics=scale_intrinsics)
     n = len(ds)
     images = jnp.asarray(ds.reference_images)            # [N, 3, 512, 512]
 
@@ -100,7 +125,9 @@ def main():
                "min": float(target.min()), "max": float(target.max())}
     print(f"latent targets: {t_stats}", file=sys.stderr, flush=True)
 
-    cfg = NeRFConfig(channel_dim=4)
+    cfg = NeRFConfig(channel_dim=4,
+                     density_activation=("trunc_exp" if args.vae_checkpoint
+                                         else "relu"))
     key = jax.random.PRNGKey(args.seed)
     params = nerf_init(key, cfg)
     state = grid_init(cfg)
@@ -210,11 +237,12 @@ def main():
         "final_l1": round(final_loss, 5),
         "steps": args.steps,
         "target_stats": {k: round(v, 4) for k, v in t_stats.items()},
+        "vae": (args.vae_checkpoint or "random seed-0 bf16"),
         "wall_s": round(time.time() - t0, 0),
-        "note": ("NeRF-only overfit vs the demo-exact deterministic "
-                 "random-VAE latents, normalized space — the attainable "
-                 "ceiling for the joint demo's latent_psnr, with the "
-                 "constant-mean floor as the denominator's denominator"),
+        "note": ("NeRF-only overfit vs the deterministic latents of the "
+                 "named VAE, normalized space — the attainable ceiling "
+                 "for the joint demo's latent_psnr, with the "
+                 "constant-mean floor as the dynamic-range denominator"),
     }))
 
 

@@ -220,10 +220,25 @@ class TrainConfig:
     lr_schedule: str = "constant"        # constant | exponential | cosine
     lr_decay_steps: int = 100_000
     lr_decay_factor: float = 0.1
+    # optional separate lr for the NeRF subtree (optax.multi_transform):
+    # hash grids train at ~1e-2, diffusion weights at ~1e-3/1e-4 — one
+    # shared lr (the reference's single AdamW) starves one side.  None =
+    # single-optimizer reference parity.  Shares lr_schedule/decay.
+    nerf_lr: Optional[float] = None
     seed: int = 0
     max_steps_train: int = 256
     max_steps_eval: int = 512
-    bg_color: float = 1.0
+    # background composited for unterminated rays: image += (1-ws)*bg.
+    # Scalar 1.0 = reference parity (train.py:61-66 renders latent-space
+    # views against bg 1).  A [channel_dim] tuple sets a PER-CHANNEL
+    # latent background — at demo scale this must be the VAE's own
+    # encoding of the scene background color: with bg=1.0 the NeRF has
+    # to fill empty space with fog to paint the true background latent
+    # (≠1), which blocks occupancy sparsification and wrecks the
+    # budgeted eval render (measured: val_nerf_loss pinned at 0.75 while
+    # train fell to 0.18, round-5 demo).  train.py --demo computes it
+    # from the loaded VAE.
+    bg_color: Any = 1.0
     num_inference_steps: int = 50
     checkpoint_every: int = 50     # epochs; the reference only saves at the end
     # checkpoint only the TRAINABLE partition (+ optimizer moments + grid +
@@ -235,6 +250,13 @@ class TrainConfig:
     # (full-state checkpoints restore with no reconstruction step).
     checkpoint_trainable_only: bool = False
     log_every: int = 10
+    # run the validation pass every N epochs (1 = reference parity: it
+    # validates every epoch, train.py:229-243).  On the remote-tunnel
+    # backend each val pass costs a dispatch + D2H round trips, which at
+    # demo scale (seconds-long epochs) is a measurable fraction of the
+    # epoch — the demo runs with val_every 10.  The skipped epochs write
+    # NaN val fields in metrics.jsonl.
+    val_every: int = 1
     # probability of dumping the step's noisy latents / noise prediction
     # to <workdir>/visualizations/ (reference sample_save_for_vis at
     # train.py:93,102, p=0.0125).  0 disables and removes the tensors
@@ -258,6 +280,16 @@ class TrainConfig:
     # operates on learned weights.  VAE + prompt caches stay frozen
     # in every scope.
     trainable_scope: str = "reference"
+    # how the frozen VAE encodes the joint loop's latent targets/conditions:
+    # "sample" = latent_dist.sample(), reference parity (network.py:170-174);
+    # "mode" = deterministic distribution mode.  SDXL's VAE has tight
+    # posteriors so the draw barely matters there; a small scene-trained
+    # AutoencoderKL is posterior-collapsed in most dims (std ~= 1 at the
+    # prior), and sampling then supervises the NeRF on ~unit-std noise
+    # after latent scaling — measured: the demo's nerf_loss pins at ~1.7
+    # (E|N(0,1)|-level) under "sample" and the fit is dead.  The demo
+    # runs with "mode".
+    vae_encode: str = "sample"
     # static NeRF sample budget per train step (None = dense lattice eval);
     # the TPU analogue of the reference's mean_count compaction.  A fixed
     # budget that BINDS while occupancy is still dense truncates rays

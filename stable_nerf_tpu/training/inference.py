@@ -84,8 +84,15 @@ def make_inference_step(
         reference_image = batch["reference_image"]
         B = target_image.shape[0]
 
-        # cond 1: VAE latent of the reference view (train.py:363)
-        reference_lt = encode_images(params["sd"], reference_image, k_vae, cfg.sd)
+        # cond 1: VAE latent of the reference view (train.py:363); the
+        # encode draw follows the training loop's cfg.train.vae_encode
+        # (TrainConfig docstring — "mode" when the VAE posterior is loose)
+        if cfg.train.vae_encode == "mode":
+            reference_lt = encode_images_mode(params["sd"], reference_image,
+                                              cfg.sd)
+        else:
+            reference_lt = encode_images(params["sd"], reference_image,
+                                         k_vae, cfg.sd)
 
         # cond 2: NeRF-rendered target latent, eval config (train.py:369)
         out = render(

@@ -34,6 +34,7 @@ from ..models.diffusion.scheduler import DDIMScheduler
 from ..models.diffusion.sd_network import (
     SDNetworkConfig,
     encode_images,
+    encode_images_mode,
     sd_forward,
     trainable_mask as sd_trainable_mask,
 )
@@ -223,11 +224,18 @@ def forward_iteration(
     reference_image = batch["reference_image"]
     B = target_image.shape[0]
 
-    # 1. frozen VAE encode, batched then split (train.py:44), no grad
+    # 1. frozen VAE encode, batched then split (train.py:44), no grad.
+    # cfg.train.vae_encode selects sample (reference parity) vs mode
+    # (deterministic — required when the VAE's posterior is not tight,
+    # see TrainConfig.vae_encode)
     images = jnp.concatenate([target_image, reference_image], axis=0)
-    latents = jax.lax.stop_gradient(
-        encode_images(params["sd"], images, k_vae, cfg.sd)
-    )
+    if cfg.train.vae_encode == "mode":
+        latents = jax.lax.stop_gradient(
+            encode_images_mode(params["sd"], images, cfg.sd))
+    else:
+        latents = jax.lax.stop_gradient(
+            encode_images(params["sd"], images, k_vae, cfg.sd)
+        )
     target_lt, reference_lt = jnp.split(latents, 2, axis=0)   # [B, 4, 64, 64]
 
     # 2. latent GT → [B, 4096, 4] in [0, 1] (train.py:52-53)
@@ -372,23 +380,44 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
     ``cfg.lr_schedule`` selects an optional decay (default "constant" =
     exact reference parity); exponential decay measured +3 dB over
-    constant lr on the NeRF fit harness (FIT_LOG.md)."""
-    if cfg.lr_schedule == "constant":
-        lr = cfg.lr
-    elif cfg.lr_schedule == "exponential":
-        lr = optax.exponential_decay(cfg.lr, cfg.lr_decay_steps,
-                                     cfg.lr_decay_factor)
-    elif cfg.lr_schedule == "cosine":
-        lr = optax.cosine_decay_schedule(cfg.lr, cfg.lr_decay_steps,
-                                         alpha=cfg.lr_decay_factor)
-    else:
+    constant lr on the NeRF fit harness (FIT_LOG.md).
+
+    ``cfg.nerf_lr`` (optional, beyond the reference's single AdamW): a
+    separate learning rate for the NeRF subtree via
+    ``optax.multi_transform`` — instant-ngp hash grids train at ~1e-2
+    while diffusion weights want ~1e-3/1e-4; one shared lr starves one
+    side or destabilizes the other (the learned-diffusion demo's
+    motivation).  None = single optimizer, exact parity."""
+
+    def schedule(base_lr):
+        if cfg.lr_schedule == "constant":
+            return base_lr
+        if cfg.lr_schedule == "exponential":
+            return optax.exponential_decay(base_lr, cfg.lr_decay_steps,
+                                           cfg.lr_decay_factor)
+        if cfg.lr_schedule == "cosine":
+            return optax.cosine_decay_schedule(base_lr, cfg.lr_decay_steps,
+                                               alpha=cfg.lr_decay_factor)
         raise ValueError(
             f"unknown lr_schedule {cfg.lr_schedule!r} "
             "(constant | exponential | cosine)")
-    opt = optax.adamw(
-        learning_rate=lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
-        eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
-    )
+
+    def adamw(base_lr):
+        return optax.adamw(
+            learning_rate=schedule(base_lr), b1=cfg.adam_b1, b2=cfg.adam_b2,
+            eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
+        )
+
+    if cfg.nerf_lr is None:
+        opt = adamw(cfg.lr)
+    else:
+        opt = optax.multi_transform(
+            {"sd": adamw(cfg.lr), "nerf": adamw(cfg.nerf_lr)},
+            param_labels=lambda params: {
+                k: jax.tree.map(lambda _: "nerf" if k == "nerf" else "sd", v)
+                for k, v in params.items()
+            },
+        )
     if cfg.grad_accum_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
     return opt

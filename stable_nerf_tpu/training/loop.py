@@ -829,15 +829,17 @@ def _train_impl(
             return {k: put_sharded(v, rep) for k, v in batch.items()}
 
         # eval renders 2B views (target+ref concat, forward_iteration)
-        val_budget = eval_budget_for_occupancy(
-            occ_frac, 2 * cfg.train.batch_size * cfg.latent_hw ** 2,
-            cfg.train)
-        eval_fn = eval_for_budget(val_budget)
         val_metrics = []
-        for batch in iterate(dataset, va_idx, cfg.train.batch_size):
-            key, k_step = jax.random.split(key)
-            val_metrics.append(eval_fn(params, grid_state,
-                                       global_batch_put(batch), k_step))
+        if cfg.train.val_every > 0 and (
+                epoch % cfg.train.val_every == 0 or epoch == epochs - 1):
+            val_budget = eval_budget_for_occupancy(
+                occ_frac, 2 * cfg.train.batch_size * cfg.latent_hw ** 2,
+                cfg.train)
+            eval_fn = eval_for_budget(val_budget)
+            for batch in iterate(dataset, va_idx, cfg.train.batch_size):
+                key, k_step = jax.random.split(key)
+                val_metrics.append(eval_fn(params, grid_state,
+                                           global_batch_put(batch), k_step))
 
         def mean_of(ms, k):
             return float(np.mean([float(m[k]) for m in ms])) if ms else float("nan")

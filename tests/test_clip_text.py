@@ -47,6 +47,7 @@ def hf_model(cfg: CLIPTextConfig, with_projection=False, seed=0):
 
 
 class TestParityWithTorch:
+    @pytest.mark.slow
     def test_hidden_states_match(self):
         cfg = small_cfg()
         model = hf_model(cfg)

@@ -1,5 +1,6 @@
 """Compaction op tests: pack/unpack roundtrip, budget overflow, gradients."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,6 +95,7 @@ def test_gradients_flow_through_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_overbudget_render_equals_masked_dense(rng, key):
     """In the over-budget regime the budgeted render must be EXACTLY the
     dense render restricted to the kept-sample mask — same loss, same

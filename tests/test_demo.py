@@ -62,6 +62,7 @@ class TestTrainableScope:
         with pytest.raises(ValueError, match="scope"):
             joint_trainable_mask(params, "everything")
 
+    @pytest.mark.slow
     def test_sd_scope_step_trains_unet_base(self, key):
         """One train step under scope 'sd' must move U-Net base weights
         (frozen under the reference scope) and leave the VAE untouched."""
@@ -87,6 +88,77 @@ class TestTrainableScope:
         for old, new in zip(jax.tree.leaves(params["sd"]["vae"]),
                             jax.tree.leaves(new_params["sd"]["vae"])):
             np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
+class TestDemoTrainKnobs:
+    def test_multi_lr_moves_both_subtrees(self, key):
+        """nerf_lr != lr must apply per-subtree step sizes (multi_transform)
+        over the partitioned (None-filled) trainable tree."""
+        import optax
+
+        from stable_nerf_tpu.config import TrainConfig
+
+        cfg = TrainConfig(lr=1e-3, nerf_lr=1e-2)
+        opt = make_optimizer(cfg)
+        params = {"sd": {"w": jnp.ones((4,))},
+                  "nerf": {"w": jnp.ones((4,))},
+                  }
+        state = opt.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, state, params)
+        # adam normalizes magnitude to ~lr on the first step
+        assert abs(float(jnp.abs(updates["nerf"]["w"]).mean()) /
+                   float(jnp.abs(updates["sd"]["w"]).mean()) - 10.0) < 1.0
+
+    @pytest.mark.slow
+    def test_vae_encode_mode_is_deterministic_across_keys(self, key):
+        """Under vae_encode='mode' the latent targets must not depend on
+        the per-step key's VAE draw (the loose-posterior fix: sampling a
+        prior-collapsed VAE supervises the NeRF on noise)."""
+        cfg = tiny_joint_cfg()
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, vae_encode="mode"))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        params = {"sd": sd_network_init(k1, cfg.sd),
+                  "nerf": nerf_init(k2, cfg.nerf)}
+        grid_state = grid_init(cfg.nerf)
+        grid_state = grid_state._replace(occ=jnp.ones_like(grid_state.occ))
+        scheduler = DDIMScheduler.create(cfg.sd.scheduler)
+        from stable_nerf_tpu.training.joint import forward_iteration
+
+        batch = make_batch(key, 2)
+        # different keys draw different diffusion noise/timesteps, so
+        # compare the NERF loss (a pure function of the latent targets
+        # given perturb_key... which also varies).  Instead compare the
+        # two encode paths directly through the forward's target:
+        _, nerf_loss_a, _ = forward_iteration(
+            params, grid_state, batch, jax.random.PRNGKey(3), cfg,
+            scheduler, train=False)
+        _, nerf_loss_b, _ = forward_iteration(
+            params, grid_state, batch, jax.random.PRNGKey(4), cfg,
+            scheduler, train=False)
+        np.testing.assert_allclose(float(nerf_loss_a), float(nerf_loss_b),
+                                   rtol=1e-6)
+
+    @pytest.mark.slow
+    def test_vae_encode_sample_varies_with_key(self, key):
+        cfg = tiny_joint_cfg()   # default: sample (reference parity)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        params = {"sd": sd_network_init(k1, cfg.sd),
+                  "nerf": nerf_init(k2, cfg.nerf)}
+        grid_state = grid_init(cfg.nerf)
+        grid_state = grid_state._replace(occ=jnp.ones_like(grid_state.occ))
+        scheduler = DDIMScheduler.create(cfg.sd.scheduler)
+        from stable_nerf_tpu.training.joint import forward_iteration
+
+        batch = make_batch(key, 2)
+        _, a, _ = forward_iteration(params, grid_state, batch,
+                                    jax.random.PRNGKey(3), cfg, scheduler,
+                                    train=False)
+        _, b, _ = forward_iteration(params, grid_state, batch,
+                                    jax.random.PRNGKey(4), cfg, scheduler,
+                                    train=False)
+        assert abs(float(a) - float(b)) > 1e-6
 
 
 class TestDemoUNet:

@@ -97,6 +97,7 @@ class TestUNet:
         assert out.shape == (2, 4, 16, 16)
         assert bool(jnp.all(jnp.isfinite(out)))
 
+    @pytest.mark.slow
     def test_scalar_timestep_broadcast(self, key):
         params = unet_init(key, self.cfg)
         x = jax.random.normal(key, (2, 4, 8, 8))
@@ -108,6 +109,7 @@ class TestUNet:
                           cfg=self.cfg)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-5)
 
+    @pytest.mark.slow
     def test_ip_two_stream_semantics(self, key):
         """With ip_scale=0 the ip tokens must not influence the output; with
         scale>0 they must.  (attention_processor.py:396: out + scale·ip)"""
@@ -126,6 +128,7 @@ class TestUNet:
                        added_time_ids=tids, cfg=self.cfg)
         assert not np.allclose(np.asarray(b), np.asarray(c), atol=1e-5)
 
+    @pytest.mark.slow
     def test_remat_matches_plain(self, key):
         """cfg.remat must change memory, never math: value AND grads equal
         the non-remat forward/backward bit-for-bit (same ops re-run)."""
@@ -178,6 +181,7 @@ class TestUNet:
             np.testing.assert_allclose(
                 np.asarray(m.sum(axis=-1)), 1.0, atol=1e-5)
 
+    @pytest.mark.slow
     def test_sdxl_unet_param_count(self, key):
         """Full-size U-Net (without ip) ≈ 2.567B params (SDXL base)."""
         params = unet_init(jax.random.PRNGKey(0), UNetConfig(), with_ip=False)

@@ -7,6 +7,7 @@ parallelism — verified against the single-device step on the 8-virtual-
 device CPU mesh.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,6 +84,7 @@ def test_fsdp_specs_compose_with_tp():
     assert qspec.index("model") != qspec.index("data")
 
 
+@pytest.mark.slow
 def test_fsdp_train_step_matches_single_device():
     """Full joint train step jitted with ZeRO-3 placement over a 1-D
     data mesh: same function, same global batch/key as single-device —
@@ -131,6 +133,7 @@ def test_fsdp_train_step_matches_single_device():
         p2, p1)
 
 
+@pytest.mark.slow
 def test_fsdp_tp_2d_train_step():
     """FSDP × TP on a (data=4 × model=2) mesh: one step runs, loss matches
     the single-device step, and a U-Net kernel is sharded on both axes."""

@@ -11,6 +11,7 @@ levels [0, k) and one-corner sampling on the fine levels [k, L).  Checks:
   * renderer/network integration via NeRFConfig.hash_stochastic_min_level.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +34,7 @@ def _params_x(key, cfg, n=48):
     return params, x
 
 
+@pytest.mark.slow
 def test_hybrid_blocks_match_pure_modes(key):
     cfg = _cfg()
     params, x = _params_x(key, cfg)

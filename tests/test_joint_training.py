@@ -89,6 +89,7 @@ def make_batch(key, B):
 
 
 class TestForwardIteration:
+    @pytest.mark.slow
     def test_losses_finite_and_positive(self, setup, key):
         cfg, params, grid_state, scheduler = setup
         batch = make_batch(key, 2)
@@ -187,6 +188,7 @@ class TestDataParallel:
         gathered = np.asarray(leaf)
         assert np.all(np.isfinite(gathered))
 
+    @pytest.mark.slow
     def test_parallel_matches_single_device_math(self, setup, key):
         """pmean of shard losses == loss over the full batch when every
         shard sees the same data and RNG is controlled."""
@@ -374,6 +376,7 @@ class TestVisAndAttnCapture:
     """VERDICT r2 next #6: sample_save_for_vis tensors through the train
     step, ip attn maps through the inference step."""
 
+    @pytest.mark.slow
     def test_with_vis_returns_reference_tensors(self, setup, key):
         import dataclasses
         from stable_nerf_tpu.training.joint import (
@@ -406,6 +409,7 @@ class TestVisAndAttnCapture:
         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_capture_attn_maps_final_step(self, setup, key):
         from stable_nerf_tpu.training.inference import make_inference_step
 

@@ -35,6 +35,7 @@ def synthetic_nerf_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_train_loop_end_to_end(synthetic_nerf_root, tmp_path):
     from stable_nerf_tpu.config import (
         HashGridConfig, NeRFConfig, SDConfig, TrainConfig,
@@ -174,6 +175,7 @@ def test_train_loop_resume(synthetic_nerf_root, tmp_path, monkeypatch):
     assert hist3 == []
 
 
+@pytest.mark.slow
 def test_train_loop_data_parallel(synthetic_nerf_root, tmp_path):
     """Drive training.loop.train itself over the 8-virtual-device mesh
     (VERDICT round-1 item 3): params must come back fully replicated and
@@ -235,6 +237,7 @@ def test_train_loop_data_parallel(synthetic_nerf_root, tmp_path):
     assert checked > 0, "no leaf was actually replicated over >1 device"
 
 
+@pytest.mark.slow
 def test_train_loop_tensor_parallel(synthetic_nerf_root, tmp_path):
     """Drive training.loop.train over a 2-D (data=4 × model=2) GSPMD mesh
     (--tensor-parallel path): U-Net kernels must come back model-sharded,
@@ -283,6 +286,7 @@ def test_train_loop_tensor_parallel(synthetic_nerf_root, tmp_path):
     assert qk.sharding.spec == P(None, "model")
 
 
+@pytest.mark.slow
 def test_train_loop_fsdp(synthetic_nerf_root, tmp_path):
     """Drive training.loop.train with fsdp=True over the 8-device mesh
     (--fsdp path): at least one SD param leaf must come back sharded,
@@ -327,6 +331,7 @@ def test_train_loop_fsdp(synthetic_nerf_root, tmp_path):
                for x in jax.tree.leaves(params["sd"]))
 
 
+@pytest.mark.slow
 def test_train_loop_fsdp_sharded_resume(synthetic_nerf_root, tmp_path):
     """Resume under FSDP restores through a sharded template (each host
     reads only its own shards — no full-state host materialization): train
@@ -375,6 +380,7 @@ def test_train_loop_fsdp_sharded_resume(synthetic_nerf_root, tmp_path):
                for x in jax.tree.leaves(params["sd"]))
 
 
+@pytest.mark.slow
 def test_train_loop_stochastic_warmup_schedule(synthetic_nerf_root, tmp_path):
     """stochastic_until_epoch: the first N epochs train with the one-corner
     encode, then the loop switches to the exact step (fast early
@@ -417,6 +423,7 @@ def test_train_loop_stochastic_warmup_schedule(synthetic_nerf_root, tmp_path):
         assert np.isfinite(rec["train_loss"])
 
 
+@pytest.mark.slow
 def test_train_loop_auto_budget(synthetic_nerf_root, tmp_path):
     """sample_budget_auto: the loop re-buckets the traced step per
     occupancy refresh (adaptive mean_count emulation) and still trains to
@@ -518,6 +525,7 @@ def test_train_loop_frozen_bf16(synthetic_nerf_root, tmp_path):
     assert float_dtypes(frozen2) == {jnp.dtype(jnp.bfloat16)}
 
 
+@pytest.mark.slow
 def test_train_loop_preemption_checkpoint(synthetic_nerf_root, tmp_path):
     """Preemption safety (beyond the reference, which has no notion of it):
     a real SIGTERM mid-training makes the loop save a resumable checkpoint

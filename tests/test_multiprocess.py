@@ -11,6 +11,7 @@ equivalent of the reference's multi-GPU `accelerate launch` path
 (reference train.py:122-126,185-202; SURVEY.md §2.3).
 """
 
+import pytest
 import json
 import os
 import socket
@@ -90,6 +91,7 @@ def test_two_process_data_parallel(tmp_path):
     assert results[0]["w"] == results[1]["w"]
 
 
+@pytest.mark.slow
 def test_two_process_training_loop(tmp_path):
     """The REAL production loop cross-process: per-host dataset slicing,
     local-slice batch feeding, pmean-synced updates, replicated val/infer

@@ -87,6 +87,7 @@ class TestNetwork:
         np.testing.assert_allclose(np.asarray(sigma_a), np.asarray(dens["sigma"]),
                                    rtol=1e-6)
 
+    @pytest.mark.slow
     def test_bf16_compute_close_to_f32(self, key):
         cfg = small_cfg()
         params = nerf_init(key, cfg)
@@ -198,6 +199,7 @@ class TestRenderer:
         np.testing.assert_allclose(img, np.tile(bg, (1024, 1)), atol=1e-6)
         np.testing.assert_allclose(np.asarray(out["depth"]), 0.0, atol=1e-6)
 
+    @pytest.mark.slow
     def test_every_param_gets_grad_and_step_changes_output(self, key):
         """The reference's smoke test (test_nerf.py:61-76) as a unit test."""
         cfg, params, st, rays = self._setup(key)

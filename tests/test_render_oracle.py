@@ -5,6 +5,7 @@ composite + background blend through the public `render()` must equal a
 NumPy transcription of the reference's full run_cuda pipeline
 (renderer.py:70-116) on a small scene."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,6 +63,7 @@ def oracle_render(params, occ, o, d, cfg, max_steps, bg, t_thresh=1e-4):
     return images, ws_out, depth_out
 
 
+@pytest.mark.slow
 def test_render_matches_oracle(key):
     cfg = NeRFConfig(
         channel_dim=3, grid_size=16,
@@ -92,6 +94,7 @@ def test_render_matches_oracle(key):
                                rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_render_budget_matches_oracle(key):
     """Same scene through the compaction path."""
     cfg = NeRFConfig(

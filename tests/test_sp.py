@@ -112,6 +112,7 @@ def test_sp_unet_forward_parity(sp):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sp_unet_grad_parity():
     """Grads through the sequence-parallel forward match the single-shard
     model — ring_sdpa's VJP (scan of ppermutes) must transpose correctly.
@@ -145,6 +146,7 @@ def test_sp_unet_grad_parity():
         got, want)
 
 
+@pytest.mark.slow
 def test_sp_remat_grad_parity():
     """Block remat composed with sequence parallelism: the checkpointed
     transformer must recompute through the ring (ppermute scan) in the
@@ -175,6 +177,7 @@ def test_sp_remat_grad_parity():
         got, want)
 
 
+@pytest.mark.slow
 def test_sp_tp_3d_forward_parity():
     """data=2 × seq=2 × model=2: batch over data, tokens over seq, heads
     over model — all three axes simultaneously."""
@@ -225,6 +228,7 @@ def test_sp_attn_map_capture_parity():
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("guidance_scale", [1.0, 5.0])
 def test_sharded_inference_step_parity(guidance_scale):
     """The TP×SP serving wrapper around the full DDIM inference step (NeRF

@@ -11,6 +11,7 @@ Checks the estimator's structural guarantees on CPU:
     (perturb_key given) and cfg.hash_stochastic is set.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +31,7 @@ def _cfg():
     return HashGridConfig(n_levels=4, log2_hashmap_size=10, base_resolution=4)
 
 
+@pytest.mark.slow
 def test_output_is_one_of_the_corners(key):
     cfg = HashGridConfig(n_levels=1, log2_hashmap_size=10, base_resolution=8)
     params = hash_grid_init(key, cfg)

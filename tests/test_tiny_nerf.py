@@ -63,6 +63,7 @@ class TestTinyNeRF:
         assert out["image"].shape == (16, 3)
         assert bool(jnp.all(jnp.isfinite(out["image"])))
 
+    @pytest.mark.slow
     def test_overfit_sphere(self, scene, key):
         """PSNR must climb well above the untrained baseline in ~150 steps —
         the learning-works guarantee the reference gets from visually

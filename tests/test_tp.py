@@ -109,6 +109,7 @@ def test_tp_specs_structure():
     assert specs["conv_in"]["kernel"] == P()
 
 
+@pytest.mark.slow
 def test_gspmd_2d_train_step_matches_single_device():
     """Full joint train step jitted over a (data=4 × model=2) mesh via
     GSPMD placement (place_joint_for_gspmd): same function, same global
@@ -168,6 +169,7 @@ def test_gspmd_2d_train_step_matches_single_device():
         p2, p1)
 
 
+@pytest.mark.slow
 def test_tp_grad_parity():
     """Grads through the shard_map TP forward match the single-shard model —
     the property a tensor-parallel *training* step rests on.  Sharded-leaf

@@ -36,6 +36,10 @@ def build_parser():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--nerf-lr", type=float, default=None,
+                   help="separate NeRF learning rate (hash grids want "
+                        "~1e-2; optax.multi_transform); omit for the "
+                        "reference's single AdamW lr")
     p.add_argument("--lr-schedule", default="constant",
                    choices=("constant", "exponential", "cosine"),
                    help="constant = reference parity; decay measured +3 dB "
@@ -48,6 +52,10 @@ def build_parser():
     p.add_argument("--max-steps", type=int, default=256)
     p.add_argument("--max-steps-eval", type=int, default=512)
     p.add_argument("--inference-every", type=int, default=50)
+    p.add_argument("--val-every", type=int, default=1,
+                   help="validate every N epochs (1 = reference parity; "
+                        "the demo uses 10 — each val pass costs tunnel "
+                        "round trips comparable to a demo-scale epoch)")
     p.add_argument("--num-inference-steps", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sdxl-checkpoint", default=None,
@@ -157,6 +165,11 @@ def build_parser():
                    help="path to a pretrain_tiny_vae.py artifact (.npz): "
                         "overlays the trained VAE params and adopts its "
                         "config (incl. measured latent scaling factor)")
+    p.add_argument("--vae-encode", default=None, choices=("sample", "mode"),
+                   help="latent-target encode draw: 'sample' = reference "
+                        "parity (latent_dist.sample()); 'mode' = "
+                        "deterministic — required for a loose-posterior "
+                        "tiny VAE (the --demo default)")
     return p
 
 
@@ -246,6 +259,8 @@ def main(argv=None):
             args.latent_size = 16
         if args.trainable_scope is None:
             args.trainable_scope = "sd"
+        if args.vae_encode is None:
+            args.vae_encode = "mode"
         num_tokens = 16
         if args.vae_checkpoint:
             vae_overlay, vae_cfg, vae_meta = vae_load_npz(args.vae_checkpoint)
@@ -328,6 +343,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             epochs=args.epochs,
             lr=args.lr,
+            nerf_lr=args.nerf_lr,
             lr_schedule=args.lr_schedule,
             lr_decay_steps=args.lr_decay_steps,
             lr_decay_factor=args.lr_decay_factor,
@@ -335,6 +351,7 @@ def main(argv=None):
             max_steps_train=args.max_steps,
             max_steps_eval=args.max_steps_eval,
             inference_every=args.inference_every,
+            val_every=args.val_every,
             num_inference_steps=args.num_inference_steps,
             seed=args.seed,
             sample_budget=(None if args.sample_budget in (None, "auto")
@@ -343,10 +360,34 @@ def main(argv=None):
             stochastic_until_epoch=args.stochastic_until_epoch,
             frozen_dtype="bfloat16" if args.frozen_bf16 else None,
             trainable_scope=args.trainable_scope or "reference",
+            vae_encode=args.vae_encode or "sample",
             checkpoint_every=args.checkpoint_every,
             checkpoint_trainable_only=args.checkpoint_trainable_only,
         ),
     )
+
+    if args.demo and vae_overlay is not None:
+        # per-channel latent background = the VAE's own encoding of the
+        # scene's white background, in the normalized supervised space.
+        # With the scalar parity bg=1.0 the NeRF must fog empty space to
+        # paint the true background latent — occupancy never sparsifies
+        # and the budgeted eval render collapses (TrainConfig.bg_color).
+        import jax
+        import jax.numpy as jnp
+
+        from stable_nerf_tpu.models.diffusion.sd_network import (
+            encode_images_mode,
+        )
+
+        white = jnp.ones((1, 3, args.image_size, args.image_size))
+        lt = jax.jit(lambda p, x: encode_images_mode({"vae": p}, x, cfg.sd))(
+            vae_overlay, white)
+        bg = tuple(float(v)
+                   for v in (jnp.mean(lt, axis=(0, 2, 3)) + 1.0) / 2.0)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, bg_color=bg))
+        print(f"latent background from VAE(white): "
+              f"{[round(b, 3) for b in bg]}")
 
     print(f"workdir: {workdir}")
     print("loading dataset…")
