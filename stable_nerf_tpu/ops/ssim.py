@@ -19,7 +19,14 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
 
 
 def _blur(img, kernel):
-    """Separable depthwise Gaussian blur, NCHW, 'same' padding."""
+    """Separable depthwise Gaussian blur, NCHW, 'same' padding.
+
+    precision=HIGHEST: TPU f32 convs default to bf16 multiplies, whose
+    ~1e-2 relative noise survives the ``blur(x²) − mu²`` cancellation in
+    the variance estimate — near-constant regions then read sigma² < 0
+    and SSIM > 1 (observed 1.167 on the demo's white-background renders;
+    the same pair reads 0.951 on the exact-f32 CPU path).  The window is
+    11 taps — exactness costs nothing here."""
     n, c, h, w = img.shape
     k = kernel.shape[0]
     kh = kernel.reshape(1, 1, k, 1)
@@ -28,10 +35,12 @@ def _blur(img, kernel):
     x = jax.lax.conv_general_dilated(
         x, kh, (1, 1), [((k - 1) // 2, (k - 1) // 2), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
         x, kw, (1, 1), [(0, 0), ((k - 1) // 2, (k - 1) // 2)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return x.reshape(n, c, h, w)
 
@@ -46,11 +55,21 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
     mu1 = _blur(img1, kernel)
     mu2 = _blur(img2, kernel)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, kernel) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, kernel) - mu2_sq
+    # clamp: true variances are nonnegative; tiny negative values are
+    # pure cancellation noise (covariance may legitimately be negative)
+    sigma1_sq = jnp.maximum(_blur(img1 * img1, kernel) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(_blur(img2 * img2, kernel) - mu2_sq, 0.0)
     sigma12 = _blur(img1 * img2, kernel) - mu1_mu2
 
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
+    # mean over the VALID interior only: the zero-padded borders bias the
+    # window moments (variances can go negative there), which pushed the
+    # reported SSIM above 1.0 on near-constant images (observed 1.04 on
+    # the round-5 demo's white-background renders).  Standard SSIM crops
+    # the half-window border.
+    b = (window_size - 1) // 2
+    if ssim_map.shape[-1] > 2 * b and ssim_map.shape[-2] > 2 * b:
+        ssim_map = ssim_map[..., b:-b, b:-b]
     return jnp.mean(ssim_map)
