@@ -106,7 +106,14 @@ def main():
     args = ap.parse_args()
 
     points = [None] + [int(x) for x in args.levels.split(",") if x] + [0]
+    # merge into any existing record: speed and quality legs run as
+    # separate invocations (each is an hour-plus of TPU), and a later
+    # pass must not erase the earlier one's rows
     rows = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for r in json.load(f).get("rows", []):
+                rows[r["mode"]] = r
 
     def flush():
         with open(args.out, "w") as f:
