@@ -647,6 +647,7 @@ def _train_impl(
     # occupancy-driven (pow2-bucketed, VERDICT r2 #7), so these hold at
     # most log2(max_steps_eval) traced functions each
     eval_cache, infer_cache = {}, {}
+    epoch_mean_cache = {}   # per-epoch-length jitted metric reductions
 
     def eval_for_budget(budget):
         if budget not in eval_cache:
@@ -841,8 +842,20 @@ def _train_impl(
                 val_metrics.append(eval_fn(params, grid_state,
                                            global_batch_put(batch), k_step))
 
-        def mean_of(ms, k):
-            return float(np.mean([float(m[k]) for m in ms])) if ms else float("nan")
+        # one jitted reduction + one host pull per metric set instead of
+        # len(ms)×len(keys) scalar D2H round trips (19 ms each over the
+        # axon tunnel — ~0.4 s/epoch at demo scale, measured r5)
+        def epoch_means(ms):
+            if not ms:
+                return {}
+            n = len(ms)
+            if n not in epoch_mean_cache:
+                epoch_mean_cache[n] = jax.jit(
+                    lambda ms: {k: jnp.mean(jnp.stack([m[k] for m in ms]))
+                                for k in ms[0]})
+            return {k: float(v)
+                    for k, v in jax.device_get(
+                        epoch_mean_cache[n](ms)).items()}
 
         # per-epoch (steady-state) rate from THIS epoch's barrier-timed
         # wall — the honest throughput (VERDICT r4 weak #4: the lifetime
@@ -851,14 +864,17 @@ def _train_impl(
         # toward a ~19.8k steady state).  The cumulative stays in the
         # record as rays_per_sec_cum for time-to-quality accounting.
         epoch_rays = 2 * global_batch * cfg.latent_hw ** 2 * len(train_metrics)
+        tr_mean = epoch_means(train_metrics)
+        va_mean = epoch_means(val_metrics)
+        nan = float("nan")
         record = {
             "epoch": epoch,
-            "train_loss": mean_of(train_metrics, "loss"),
-            "train_sd_loss": mean_of(train_metrics, "sd_loss"),
-            "train_nerf_loss": mean_of(train_metrics, "nerf_loss"),
-            "val_loss": mean_of(val_metrics, "loss"),
-            "val_sd_loss": mean_of(val_metrics, "sd_loss"),
-            "val_nerf_loss": mean_of(val_metrics, "nerf_loss"),
+            "train_loss": tr_mean.get("loss", nan),
+            "train_sd_loss": tr_mean.get("sd_loss", nan),
+            "train_nerf_loss": tr_mean.get("nerf_loss", nan),
+            "val_loss": va_mean.get("loss", nan),
+            "val_sd_loss": va_mean.get("sd_loss", nan),
+            "val_nerf_loss": va_mean.get("nerf_loss", nan),
             "rays_per_sec": (epoch_rays / train_wall if train_wall > 0
                              else float("nan")),
             "rays_per_sec_cum": timer.rays_per_sec(),

@@ -37,7 +37,7 @@ def patched_bench(monkeypatch):
         bench, "bench_sd_denoise",
         lambda n_steps=10, batch=2: (31.0, 32.0, 0.48 + 0.01 * batch,
                                      "TPU v5 lite", 197e12, 3.06e12,
-                                     3.3e11, 6.0 + batch))
+                                     3.3e11, ("live_arrays", 6.0 + batch)))
     monkeypatch.setattr(bench, "bench_joint_step",
                         lambda stochastic=False: 110.0 if stochastic
                         else 420.0)
@@ -68,7 +68,8 @@ def test_every_line_parses_and_grows(patched_bench, monkeypatch, capsys):
     assert last["nerf_eval_ms_per_image_auto"] == 82.0
     assert last["sd_denoise_mfu"] == pytest.approx(0.5)
     assert last["sd_denoise_mfu_b4"] == pytest.approx(0.52)
-    assert last["sd_denoise_peak_hbm_gb_b8"] == 14.0
+    assert last["sd_denoise_hbm_gb_b8"] == 14.0
+    assert last["sd_denoise_hbm_measure_b8"] == "live_arrays"
     assert last["joint_step_ms"] == 420.0
     assert last["joint_step_ms_stochastic"] == 110.0
 
