@@ -157,7 +157,11 @@ def main():
 
     t0 = time.time()
     lowered = step.lower(params, opt_state, grid_state, batch, key)
+    t_lower = time.time() - t0
     compiled = lowered.compile()
+    t_compile = time.time() - t0 - t_lower
+    print(f"lower {t_lower:.0f}s  compile {t_compile:.0f}s "
+          f"(persistent-cache hit when ≪ cold ~200s)", file=sys.stderr)
     mem = {}
     try:
         ma = compiled.memory_analysis()

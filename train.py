@@ -181,10 +181,16 @@ def enable_compile_cache(directory=None):
     At full-SDXL scale this is the difference between a resume paying a
     ~12 min recompile and starting in seconds.  Returns the directory or
     None when disabled.
+
+    The default lives INSIDE the repo tree (gitignored), not under
+    ``~/.cache``: the home directory is ephemeral on the target hosts
+    while the checkout persists, so a home-dir cache silently reverts
+    every warm start to a cold one across host resets.
     """
     directory = directory or os.environ.get(
         "STABLE_NERF_COMPILE_CACHE",
-        os.path.expanduser("~/.cache/stable_nerf_tpu/jax"))
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".cache", "jax"))
     if str(directory).lower() in ("", "none", "0", "off"):
         return None
     import jax
