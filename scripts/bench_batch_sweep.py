@@ -42,8 +42,11 @@ def run_one(batch: int, remat: bool, timeout: int):
                 "error": f"timeout after {timeout}s"}
     if proc.returncode != 0:
         tail = proc.stderr[-400:]
-        oom = ("RESOURCE_EXHAUSTED" in proc.stderr
-               or "Out of memory" in proc.stderr)
+        low = proc.stderr.lower()
+        # TPU OOM text varies: "RESOURCE_EXHAUSTED … Ran out of memory in
+        # memory space hbm", or just the buffer-assignment dump
+        oom = ("resource_exhausted" in low or "out of memory" in low
+               or "Allocation type: HLO temp" in proc.stderr)
         return {"batch": batch, "remat": remat,
                 "error": "OOM" if oom else f"rc={proc.returncode}",
                 "stderr_tail": tail}
