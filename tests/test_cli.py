@@ -1,5 +1,6 @@
 """CLI surface smoke tests (no training runs)."""
 
+import os
 import subprocess
 import sys
 
@@ -81,3 +82,24 @@ def test_compile_cache_flags_and_plumbing(tmp_path):
     args = train_mod.build_parser().parse_args(
         ["--checkpoint-every", "7", "--compile-cache", "none"])
     assert args.checkpoint_every == 7 and args.compile_cache == "none"
+
+
+def test_compile_cache_default_is_repo_local(monkeypatch):
+    """The default cache dir lives INSIDE the repo tree, not under the
+    (ephemeral-on-target-hosts) home dir — a home-dir default silently
+    turns every warm start cold across host resets (round-5 root cause
+    of the 'cache barely benefits' observation)."""
+    import jax
+
+    sys.path.insert(0, ".")
+    import train as train_mod
+
+    monkeypatch.delenv("STABLE_NERF_COMPILE_CACHE", raising=False)
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        got = train_mod.enable_compile_cache(None)
+        repo = os.path.dirname(os.path.abspath(train_mod.__file__))
+        assert got == os.path.join(repo, ".cache", "jax")
+        assert not got.startswith(os.path.expanduser("~/.cache"))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
