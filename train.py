@@ -124,10 +124,11 @@ def build_parser():
                         "full-SDXL checkpoint)")
     p.add_argument("--compile-cache", default=None,
                    help="persistent XLA compilation cache directory "
-                        "(default: ~/.cache/stable_nerf_tpu/jax, or "
-                        "$STABLE_NERF_COMPILE_CACHE; 'none' disables). "
-                        "A preempted full-SDXL job relaunching with "
-                        "--resume skips the ~12 min recompile entirely")
+                        "(default: <repo>/.cache/jax — survives host "
+                        "resets; or $STABLE_NERF_COMPILE_CACHE; 'none' "
+                        "disables). A preempted full-SDXL job "
+                        "relaunching with --resume pays ~25 s of "
+                        "compile instead of ~4 min")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint under --workdir "
                         "(params + optimizer + occupancy grid + epoch) and "
